@@ -1,0 +1,152 @@
+"""Banded LSH as DataFrame ops: the reference's hashtable index becomes a
+``bands`` table; inserts are writes, queries are joins.
+
+Reference semantics reproduced:
+  - ``MinHashLSH.__init__`` hashranges ``[(i*r, (i+1)*r)]`` (``lsh.py:196``)
+    -> ``F.slice(sig, i*r+1, r)``.
+  - ``MinHashLSH._H`` band bucket key = bytes of the r slot values
+    (``lsh.py:537-543``) -> ``xxhash64(band_idx, slice)``: any injective
+    encoding of (band_idx, band content) gives identical bucketing
+    semantics; a 64-bit key is what the reference's optional key-compression
+    hashfunc (``lsh.py:81-83``) produces anyway.
+  - ``MinHashLSH.insert`` (``lsh.py:326-347``) -> append rows to the bands
+    table (posexplode), one shuffle write, no KV store.
+  - ``MinHashLSH.query`` (``lsh.py:370-432``) -> equi-join on
+    ``(band_idx, band_hash)`` + union of candidates across bands
+    (groupBy/collect_set).
+  - ``MinHashLSH.get_counts`` (``lsh.py:560-589``) -> bucket histogram
+    groupBy; feeds the bucket cap (our skew-handling addition).
+
+Everything in this module is pure DataFrame API — whole-stage codegen,
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datasketch_spark.config import DedupConfig
+from datasketch_spark.functions.minhash import make_signature_udf
+
+
+def with_signature(
+    df: DataFrame, cfg: DedupConfig, text_col: str = "text", sig_col: str = "sig"
+) -> DataFrame:
+    """Attach the MinHash signature column (the single pandas-UDF stage)."""
+    udf = make_signature_udf(cfg.num_perm, cfg.seed, cfg.shingle_k, cfg.hash_mode)
+    return df.withColumn(sig_col, udf(F.col(text_col)))
+
+
+def band_hash_array(cfg: DedupConfig, sig_col: str = "sig"):
+    """array<bigint> of b band hashes — native xxhash64 over each sig slice."""
+    return F.array(
+        *[
+            F.xxhash64(F.lit(i), F.slice(F.col(sig_col), i * cfg.r + 1, cfg.r))
+            for i in range(cfg.b)
+        ]
+    )
+
+
+def bands_table(
+    sig_df: DataFrame, cfg: DedupConfig, key_col: str = "doc_id", sig_col: str = "sig"
+) -> DataFrame:
+    """(key, band_idx, band_hash) — the LSH index as a table.
+
+    ``posexplode`` of the band-hash array: b rows per doc, one shuffle on
+    write. At scale this table is written bucketed by band_hash so the
+    self-join below is co-located.
+    """
+    return sig_df.select(
+        F.col(key_col),
+        F.posexplode(band_hash_array(cfg, sig_col)).alias("band_idx", "band_hash"),
+    )
+
+
+def bucket_histogram(bands: DataFrame) -> DataFrame:
+    """Per-bucket member counts (reference ``get_counts``, ``lsh.py:560-589``).
+    The skew diagnostic: drives bucket_cap decisions."""
+    return bands.groupBy("band_idx", "band_hash").agg(F.count("*").alias("n_keys"))
+
+
+def candidate_pairs(
+    bands: DataFrame, cfg: DedupConfig, key_col: str = "doc_id"
+) -> DataFrame:
+    """All-pairs dedup: distinct (a, b), a < b, sharing >= 1 LSH bucket.
+
+    Strategy: ONE shuffle (groupBy bucket, collect sorted member list) then
+    native pair expansion with nested ``transform`` — avoids the two-sided
+    shuffle of a self-join and makes the bucket cap trivial to apply before
+    the quadratic blowup. Buckets larger than ``bucket_cap`` are dropped
+    (hot buckets = boilerplate; a bucket of n yields n(n-1)/2 pairs).
+    AQE handles residual skew in the final distinct.
+    """
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(key_col).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= cfg.bucket_cap))
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    # pairs(ids) = [(ids[i], ids[j]) for i < j], ids sorted -> a < b.
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def dropped_buckets(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Buckets excluded by the cap — surfaced as a metric, never silent."""
+    return bucket_histogram(bands).where(F.col("n_keys") > cfg.bucket_cap)
+
+
+def lsh_query(
+    index_bands: DataFrame,
+    query_bands: DataFrame,
+    query_key: str = "query_id",
+    index_key: str = "doc_id",
+) -> DataFrame:
+    """Batched ``MinHashLSH.query`` (``lsh.py:370-432``): for each query key,
+    the set-union of index keys across all matching band buckets.
+
+    Returns (query_key, candidates: array<index_key type>).
+    """
+    q = query_bands.select(
+        F.col(query_key), F.col("band_idx"), F.col("band_hash")
+    )
+    joined = q.join(index_bands, ["band_idx", "band_hash"])
+    return joined.groupBy(query_key).agg(
+        F.array_sort(F.collect_set(index_key)).alias("candidates")
+    )
+
+
+def query_buffer_intersection(
+    index_bands: DataFrame,
+    query_bands: DataFrame,
+    n_queries: int,
+    query_key: str = "query_id",
+    index_key: str = "doc_id",
+) -> DataFrame:
+    """Reference ``collect_query_buffer`` wrinkle (``lsh.py:434-483``):
+    per-query union across bands, then INTERSECTION across all buffered
+    queries. -> candidates appearing for every one of the n queries."""
+    per_query = (
+        query_bands.join(index_bands, ["band_idx", "band_hash"])
+        .select(query_key, index_key)
+        .distinct()
+    )
+    return (
+        per_query.groupBy(index_key)
+        .agg(F.countDistinct(query_key).alias("nq"))
+        .where(F.col("nq") == n_queries)
+        .select(index_key)
+    )

@@ -1,0 +1,97 @@
+"""Checkpointed stage writer with a metrics sidecar.
+
+The north rule requires every stage to checkpoint to a lakehouse table with
+per-partition lineage + metrics so the pipeline resumes mid-run. The table
+format is abstracted: parquet in the sandbox, Iceberg on a cluster (same
+call sites — ``format='iceberg'`` + a catalog conf is the only change; no
+Iceberg jars ship in this sandbox so the branch is config-gated, not
+exercised here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class CheckpointManager:
+    """Writes each pipeline stage to ``<root>/<stage>`` and records a
+    ``_metrics.json`` sidecar (rows, partitions, elapsed, config digest).
+
+    ``resume=True``: if a stage directory exists with a complete metrics
+    sidecar, the stage is read back instead of recomputed — mid-run resume.
+    """
+
+    root: str
+    format: str = "parquet"  # "parquet" | "iceberg"
+    resume: bool = True
+    enabled: bool = True
+    run_config: dict = field(default_factory=dict)
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _metrics_path(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}._metrics.json")
+
+    def has(self, stage: str) -> bool:
+        return os.path.exists(self._metrics_path(stage))
+
+    def load(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.format(self.format).load(self._path(stage))
+
+    def materialize(
+        self,
+        df: DataFrame,
+        stage: str,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Write the stage, record metrics, return the re-read DataFrame
+        (lineage truncated at the table — the scale-path equivalent of
+        localCheckpoint)."""
+        if not self.enabled:
+            return df.localCheckpoint(eager=True)
+        spark = df.sparkSession
+        if self.resume and self.has(stage):
+            return self.load(spark, stage)
+        os.makedirs(self.root, exist_ok=True)
+        t0 = time.time()
+        writer = df.write.mode("overwrite").format(self.format)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(self._path(stage))
+        out = self.load(spark, stage)
+        # Per-partition lineage: rows per file (file = unit of parallel read).
+        per_file = (
+            out.groupBy(F.input_file_name().alias("file"))
+            .count()
+            .collect()
+        )
+        metrics = {
+            "stage": stage,
+            "rows": int(sum(r["count"] for r in per_file)),
+            "files": len(per_file),
+            "rows_per_file": {
+                os.path.basename(r["file"]): int(r["count"]) for r in per_file
+            },
+            "elapsed_sec": round(time.time() - t0, 3),
+            "format": self.format,
+            "config": self.run_config,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        with open(self._metrics_path(stage), "w") as fh:
+            json.dump(metrics, fh, indent=1, default=str)
+        return out
+
+
+class NoopCheckpoints(CheckpointManager):
+    """In-memory runs (tests): localCheckpoint only, nothing written."""
+
+    def __init__(self) -> None:
+        super().__init__(root="", enabled=False)

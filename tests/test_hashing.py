@@ -1,0 +1,148 @@
+"""Bit-parity tests for the numeric core (no Spark).
+
+Golden values come from the reference's own test suite
+(``test/test_minhash.py:109-115``) and documented optimal-param triples
+(``datasketch/lsh.py:98-100``).
+"""
+
+import hashlib
+import struct
+
+import numpy as np
+
+from datasketch_spark.config import DedupConfig, optimal_param
+from datasketch_spark.functions.hashing import (
+    MAX_HASH,
+    MERSENNE_PRIME,
+    permutations,
+    permute_min,
+    permute_min_segments,
+    sha1_hash32,
+    sha1_hash32_batch,
+)
+from datasketch_spark.functions.shingles import (
+    batch_shingle_hashes,
+    byte_shingles,
+    shingle_hashes_fast,
+    shingle_hashes_sha1,
+)
+
+
+def _reference_permutations(num_perm, seed):
+    # Independent re-derivation of the reference's published generation
+    # order (minhash.py:170-184): per-slot (a, b) pairs, then transpose.
+    gen = np.random.RandomState(seed)
+    pairs = []
+    for _ in range(num_perm):
+        a = gen.randint(1, int(MERSENNE_PRIME), dtype=np.uint64)
+        b = gen.randint(0, int(MERSENNE_PRIME), dtype=np.uint64)
+        pairs.append((a, b))
+    arr = np.array(pairs, dtype=np.uint64)
+    return arr[:, 0], arr[:, 1]
+
+
+def test_golden_minhash_hello():
+    # MinHash(num_perm=4, seed=1).update(b"Hello") fixture.
+    a, b = permutations(4, 1)
+    sig = permute_min(sha1_hash32_batch([b"Hello"]), a, b)
+    assert sig.tolist() == [734825475, 960773806, 359816889, 342714745]
+
+
+def test_permutations_match_reference_generation():
+    for num_perm, seed in [(4, 1), (128, 1), (16, 42)]:
+        a, b = permutations(num_perm, seed)
+        ra, rb = _reference_permutations(num_perm, seed)
+        assert (a == ra).all() and (b == rb).all()
+
+
+def test_sha1_hash32():
+    for data in [b"Hello", b"", b"abc", b"\x00\xff"]:
+        expected = struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
+        assert sha1_hash32(data) == expected
+    assert sha1_hash32_batch([b"Hello", b"abc"]).tolist() == [
+        sha1_hash32(b"Hello"),
+        sha1_hash32(b"abc"),
+    ]
+
+
+def test_optimal_param_reference_triples():
+    assert optimal_param(0.5, 128) == (25, 5)
+    assert optimal_param(0.8, 128) == (9, 13)
+    assert optimal_param(0.9, 128) == (5, 25)
+
+
+def test_update_equivalence_incremental_vs_batch():
+    # update x n == update_batch (reference test_minhash.py:29-41).
+    a, b = permutations(128, 1)
+    tokens = [f"tok-{i}".encode() for i in range(50)]
+    hv = sha1_hash32_batch(tokens)
+    batch_sig = permute_min(hv, a, b)
+    inc = np.full(128, MAX_HASH, dtype=np.uint64)
+    for t in tokens:
+        inc = np.minimum(inc, permute_min(sha1_hash32_batch([t]), a, b))
+    assert (batch_sig == inc).all()
+
+
+def test_merge_is_union_signature():
+    # sig(A | B) == min(sig(A), sig(B)) (reference test_minhash.py:52-67).
+    a, b = permutations(128, 1)
+    ta = [f"a{i}".encode() for i in range(30)]
+    tb = [f"b{i}".encode() for i in range(30)]
+    sa = permute_min(sha1_hash32_batch(ta), a, b)
+    sb = permute_min(sha1_hash32_batch(tb), a, b)
+    su = permute_min(sha1_hash32_batch(ta + tb), a, b)
+    assert (np.minimum(sa, sb) == su).all()
+
+
+def test_segment_minhash_matches_single():
+    a, b = permutations(128, 1)
+    rng = np.random.RandomState(0)
+    arrs = [
+        rng.randint(0, 2**32, size=n).astype(np.uint64) for n in [1, 0, 7, 500, 3]
+    ]
+    off = np.zeros(len(arrs) + 1, dtype=np.int64)
+    for i, x in enumerate(arrs):
+        off[i + 1] = off[i] + len(x)
+    seg = permute_min_segments(np.concatenate(arrs), off, a, b, chunk_tokens=100)
+    for i, x in enumerate(arrs):
+        assert (seg[i] == permute_min(x, a, b)).all()
+
+
+def test_byte_shingles():
+    assert byte_shingles("abcdef", 5) == [b"abcde", b"bcdef"]
+    assert byte_shingles("ab", 5) == [b"ab"]  # short text -> whole text
+    assert byte_shingles("héllo!", 3)[0] == "hél".encode()[:3]
+
+
+def test_shingle_hash_modes_in_32bit_range():
+    for fn in (shingle_hashes_fast, shingle_hashes_sha1):
+        h = fn("the quick brown fox jumps over the lazy dog", 5)
+        assert h.dtype == np.uint64
+        assert (h <= int(MAX_HASH)).all()
+        assert len(h) == len(np.unique(h))
+
+
+def test_batch_shingle_hashes_none_handling():
+    hv, off = batch_shingle_hashes(["abcdefgh", None, "abcdefgh"], 5)
+    assert off.tolist()[1] - off.tolist()[0] == off.tolist()[3] - off.tolist()[2]
+    assert off[2] == off[1]  # None -> empty segment
+
+
+def test_jaccard_estimate_accuracy():
+    # |A|=|B|=1000, |A&B|=800 -> J = 800/1200 = 0.667; est within 4 sigma.
+    a, b = permutations(128, 1)
+    common = [f"c{i}".encode() for i in range(800)]
+    only_a = [f"x{i}".encode() for i in range(200)]
+    only_b = [f"y{i}".encode() for i in range(200)]
+    sa = permute_min(sha1_hash32_batch(common + only_a), a, b)
+    sb = permute_min(sha1_hash32_batch(common + only_b), a, b)
+    est = (sa == sb).mean()
+    true_j = 800 / 1200
+    assert abs(est - true_j) < 4 * np.sqrt(true_j * (1 - true_j) / 128)
+
+
+def test_dedup_config_defaults():
+    cfg = DedupConfig(threshold=0.8)
+    assert (cfg.b, cfg.r) == (9, 13)
+    cfg2 = DedupConfig(params=(16, 8))
+    assert (cfg2.b, cfg2.r) == (16, 8)
