@@ -1,0 +1,164 @@
+"""Benchmark harness.
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line
+{"metric", "value" (total sec), "unit": "sec", "queries": {...}, "sf": ...}.
+
+--scaling: runs the identical dedup job in two subprocesses (local[N] and
+local[4N], N from $SPARK_GRAFT_SCALE_N default 8) over the same
+deterministic synthetic corpus and reports docs/sec at both plus scaling
+efficiency — the sandbox evidence for the north rule's two-cluster-size
+criterion. Results land in BENCH.md.
+
+--dedup-worker is the subprocess entrypoint used by --scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_queries() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from datasketch_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 16),
+    )
+    # Warm the JVM + Arrow path so per-query times measure the engine.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    headline = [
+        "minhash_dedup",
+        "lsh_candidates",
+        "exact_dup_groups",
+        "word_jaccard_pairs",
+        "ngram_jaccard_pairs",
+        "cosine_topk",
+        "cosine_pairs",
+        "quality_scores",
+        "langid",
+        "doc_stats",
+        "hll_cardinality",
+    ]
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+
+
+def dedup_worker(n_cpus: int, n_docs: int) -> None:
+    """Subprocess body: full dedup pipeline on the deterministic synthetic
+    corpus; prints JSON {elapsed, n_docs, docs_per_sec}."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from datasketch_spark.config import DedupConfig
+    from datasketch_spark.operators.dedup import dedup_pipeline
+    from datasketch_spark.session import get_spark
+    from datasketch_spark.sources.pages import synth_pages
+
+    spark = get_spark(
+        app_name=f"dedup-bench-{n_cpus}",
+        master=f"local[{n_cpus}]",
+        shuffle_partitions=max(n_cpus * 2, 16),
+    )
+    pages = synth_pages(spark, n_docs, seed=42, partitions=max(n_cpus * 2, 8))
+    # Materialize the input first: generation time is corpus prep, not
+    # pipeline throughput (both parallelism levels read the same data).
+    pages = pages.persist()
+    pages.count()
+    t0 = time.time()
+    stages = dedup_pipeline(pages, DedupConfig(threshold=0.8))
+    n_clusters = stages["clusters"].select("cluster_id").distinct().count()
+    elapsed = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "elapsed": round(elapsed, 3),
+                "n_docs": n_docs,
+                "n_clusters": n_clusters,
+                "docs_per_sec": round(n_docs / elapsed, 1),
+            }
+        )
+    )
+
+
+def run_scaling() -> None:
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "8"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "60000"))
+    results = {}
+    for cpus in (n, 4 * n):
+        out = subprocess.run(
+            [sys.executable, __file__, "--dedup-worker", str(cpus), str(n_docs)],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(f"# local[{cpus}]: {results[cpus]}", file=sys.stderr)
+    eff = (
+        results[4 * n]["docs_per_sec"] / results[n]["docs_per_sec"] / 4.0
+    )
+    summary = {
+        "metric": "dedup scaling efficiency N->4N",
+        "N": n,
+        "n_docs": n_docs,
+        f"docs_per_sec_local[{n}]": results[n]["docs_per_sec"],
+        f"docs_per_sec_local[{4*n}]": results[4 * n]["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "a") as fh:
+        fh.write(
+            f"\n## Scaling run {time.strftime('%Y-%m-%dT%H:%M:%S')}\n\n"
+            f"Same job (MinHash dedup pipeline, t=0.8, num_perm=128), same "
+            f"{n_docs}-doc deterministic synthetic corpus, two parallelism "
+            f"levels:\n\n"
+            f"| parallelism | docs/sec | elapsed (s) |\n|---|---|---|\n"
+            f"| local[{n}] | {results[n]['docs_per_sec']} | {results[n]['elapsed']} |\n"
+            f"| local[{4*n}] | {results[4*n]['docs_per_sec']} | {results[4*n]['elapsed']} |\n\n"
+            f"Scaling efficiency (throughput@4N / throughput@N) / 4 = "
+            f"**{eff:.3f}**\n"
+        )
+
+
+if __name__ == "__main__":
+    if "--dedup-worker" in sys.argv:
+        i = sys.argv.index("--dedup-worker")
+        dedup_worker(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
+    elif "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_queries()

@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (native zip_with/aggregate
+expressions — no Python); the scale path buckets vectors with random
+hyperplane signatures (SimHash for cosine, Charikar 2002) so the pairwise
+join is restricted to bucket collisions, exactly mirroring the MinHash->LSH
+structure used for Jaccard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(v1, v2):
+    a = F.col(v1) if isinstance(v1, str) else v1
+    b = F.col(v2) if isinstance(v2, str) else v2
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(v):
+    a = F.col(v) if isinstance(v, str) else v
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_col(v1, v2):
+    return dot_col(v1, v2) / (norm_col(v1) * norm_col(v2))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
+
+    queries x vectors cross join — the O(QxN) baseline. Norms are
+    precomputed per side (norm is O(dim) per VECTOR, not per pair); the
+    query side is broadcast. Ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_col(vec_col).alias("_qn"),
+    )
+    c = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm_col(vec_col).alias("_cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            F.round(dot_col("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), round_digits),
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    min_sim: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a < b) with cosine >= min_sim.
+
+    Exact self-join with per-vector norm precomputation; ``block_col``
+    restricts pairs to equal-key blocks (the quadratic-taming pattern —
+    unblocked exact all-pairs does not survive scale; the unblocked scale
+    path is simhash_bucketed_pairs)."""
+    base = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm_col(vec_col).alias("_n"),
+        *([F.col(block_col).alias("_blk")] if block_col else []),
+    )
+    on = [F.col("a") < F.col("b")]
+    left = base.select(
+        F.col("_id").alias("a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+        *([F.col("_blk").alias("_blka")] if block_col else []),
+    )
+    right = base.select(
+        F.col("_id").alias("b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+        *([F.col("_blk").alias("_blkb")] if block_col else []),
+    )
+    if block_col:
+        on.append(F.col("_blka") == F.col("_blkb"))
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    return (
+        left.join(right, cond)
+        .withColumn(
+            "sim",
+            F.round(dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb")), round_digits),
+        )
+        .where(F.col("sim") >= min_sim)
+        .select("a", "b", "sim")
+    )
+
+
+def random_hyperplanes(dim: int, n_bits: int, seed: int = 1) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_bits, dim)).astype(np.float64)
+
+
+def simhash_signature_col(vec_col: str, planes: np.ndarray):
+    """Cosine-LSH bit signature as a native expression: sign of dot with
+    each hyperplane, packed into a bigint (n_bits <= 63)."""
+    n_bits = planes.shape[0]
+    bit_terms = []
+    for i in range(n_bits):
+        row = planes[i]
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit_terms.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out.cast("long")
+
+
+def simhash_bucketed_pairs(
+    vectors: DataFrame,
+    min_sim: float,
+    n_bits: int = 16,
+    n_tables: int = 4,
+    seed: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine near-dup pairs: candidates collide on at least one
+    of n_tables random-hyperplane signatures, then exact-cosine verified.
+    The banded structure mirrors MinHash LSH; collision prob per table for
+    angle theta is (1 - theta/pi)^n_bits."""
+    dim = len(vectors.select(vec_col).first()[0])
+    sigs = vectors.select(id_col, vec_col)
+    band_cols = []
+    for t in range(n_tables):
+        planes = random_hyperplanes(dim, n_bits, seed + t * 1000)
+        band_cols.append(
+            F.struct(
+                F.lit(t).alias("band_idx"),
+                simhash_signature_col(vec_col, planes).alias("band_hash"),
+            )
+        )
+    bands = sigs.select(
+        id_col, vec_col, F.explode(F.array(*band_cols)).alias("bh")
+    ).select(id_col, vec_col, "bh.band_idx", "bh.band_hash")
+    left = bands.select(
+        F.col("band_idx"), F.col("band_hash"),
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+    )
+    right = bands.select(
+        F.col("band_idx"), F.col("band_hash"),
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+    )
+    cands = (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.withColumn("sim", F.round(cosine_col("_va", "_vb"), 4))
+        .where(F.col("sim") >= min_sim)
+        .select("a", "b", "sim")
+    )

@@ -1,0 +1,109 @@
+"""MinHashLSHForest -> prefix-depth join for top-k Jaccard search.
+
+Reference (``lshforest.py``): l prefix trees over byte-concatenated
+hashvalue prefixes, k_per_tree = num_perm // l; a top-k query probes
+shrinking prefix lengths r = k..1, accumulating candidates found at the
+deepest matching levels first (``lshforest.py:74-128``).
+
+Spark-shaped equivalent with identical candidate semantics: materialize
+(doc_id, tree_idx, depth, prefix_hash) for every depth 1..k_per_tree —
+num_perm rows per doc, same storage order as the reference's trees — and
+answer a batch of queries with ONE equi-join on (tree_idx, depth,
+prefix_hash). Per (query, candidate) the deepest shared depth ranks first
+(the reference's accumulation order), then estimated Jaccard breaks ties
+(the caller-side re-rank the reference documents, ``lshforest.py:157-166``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datasketch_spark.functions.minhash import jaccard_col
+
+
+class ForestConfig:
+    def __init__(self, num_perm: int = 128, l_trees: int = 8) -> None:
+        if l_trees < 2 or l_trees > num_perm:
+            raise ValueError("l_trees must be in [2, num_perm]")
+        self.num_perm = num_perm
+        self.l_trees = l_trees
+        self.k_per_tree = num_perm // l_trees
+
+
+def prefix_table(
+    sig_df: DataFrame,
+    fcfg: ForestConfig,
+    key_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """(key, tree_idx, depth, prefix_hash) for depth 1..k_per_tree.
+
+    prefix_hash = xxhash64(tree_idx, depth, slice of sig) — injective-enough
+    stand-in for the reference's byte-concat prefix keys (lshforest.py:63).
+    """
+    entries = []
+    for t in range(fcfg.l_trees):
+        start = t * fcfg.k_per_tree
+        for depth in range(1, fcfg.k_per_tree + 1):
+            entries.append(
+                F.struct(
+                    F.lit(t).alias("tree_idx"),
+                    F.lit(depth).alias("depth"),
+                    F.xxhash64(
+                        F.lit(t),
+                        F.lit(depth),
+                        F.slice(F.col(sig_col), start + 1, depth),
+                    ).alias("prefix_hash"),
+                )
+            )
+    return sig_df.select(
+        F.col(key_col), F.explode(F.array(*entries)).alias("e")
+    ).select(key_col, "e.tree_idx", "e.depth", "e.prefix_hash")
+
+
+def topk_query(
+    index_prefixes: DataFrame,
+    query_sig_df: DataFrame,
+    index_sig_df: DataFrame,
+    fcfg: ForestConfig,
+    k: int = 10,
+    query_key: str = "query_id",
+    index_key: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Batched top-k: (query_id, doc_id, best_depth, est_jaccard, rank).
+
+    One join on (tree_idx, depth, prefix_hash); candidates ranked by
+    deepest shared prefix (reference accumulation order) then estimated
+    Jaccard from the full signatures (reference's documented re-rank).
+    """
+    q_pref = prefix_table(query_sig_df, fcfg, key_col=query_key, sig_col=sig_col)
+    matches = (
+        q_pref.join(index_prefixes, ["tree_idx", "depth", "prefix_hash"])
+        .where(F.col(query_key) != F.col(index_key))
+        .groupBy(query_key, index_key)
+        .agg(F.max("depth").alias("best_depth"))
+    )
+    q_sigs = query_sig_df.select(
+        F.col(query_key), F.col(sig_col).alias("_qsig")
+    )
+    i_sigs = index_sig_df.select(
+        F.col(index_key), F.col(sig_col).alias("_isig")
+    )
+    scored = (
+        matches.join(q_sigs, query_key)
+        .join(i_sigs, index_key)
+        .withColumn(
+            "est_jaccard", jaccard_col("_qsig", "_isig", fcfg.num_perm)
+        )
+        .select(query_key, index_key, "best_depth", "est_jaccard")
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("best_depth").desc(),
+        F.col("est_jaccard").desc(),
+        F.col(index_key).asc(),
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

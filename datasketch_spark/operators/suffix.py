@@ -1,0 +1,209 @@
+"""Exact long-substring dedup pass (Lee et al. 2021, "Deduplicating
+Training Data Makes Language Models Better"), re-shaped for Spark.
+
+The paper builds one global suffix array; that is driver-hostile at 100TB.
+Spark-shaped equivalent with the same guarantee:
+
+  1. Per doc (vectorized pandas UDF): rolling-hash all k-byte grams, then
+     ROBUST WINNOWING (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS
+     fingerprinting algorithm): keep the minimal hash in every window of w
+     consecutive grams. Guarantee: any common substring of length
+     >= k + w - 1 shares at least one selected fingerprint.
+  2. groupBy fingerprint -> candidate (docA, posA, docB, posB) alignments
+     (bucket-capped like LSH buckets).
+  3. Verify: join texts back, extend the exact match left/right around the
+     aligned positions (applyInPandas, O(match) per pair); keep pairs whose
+     true common substring >= min_len = k + w - 1.
+
+Output edges feed the same connected-components stage as the MinHash pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_B = np.uint64(1000003)  # polynomial rolling-hash base
+
+
+def _gram_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial hashes of all k-grams of a uint8 array (vectorized: k
+    strided multiply-adds over the windows)."""
+    n = len(data)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    n_win = n - k + 1
+    acc = np.zeros(n_win, dtype=np.uint64)
+    d = data.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _B + d[j : j + n_win]
+    return acc
+
+
+def winnow(hashes: np.ndarray, w: int) -> np.ndarray:
+    """Positions selected by robust winnowing: index of the min hash in
+    each length-w window (rightmost min on ties), deduplicated."""
+    n = len(hashes)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if n <= w:
+        return np.array([int(np.argmin(hashes))], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    # rightmost min: argmin on reversed window
+    rev_arg = w - 1 - np.argmin(win[:, ::-1], axis=1)
+    pos = np.unique(rev_arg + np.arange(len(win)))
+    return pos.astype(np.int64)
+
+
+def fingerprints_table(
+    docs: DataFrame,
+    k: int = 50,
+    w: int = 40,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, fp: bigint, pos: bigint) winnowed fingerprints per doc."""
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("fps", ArrayType(LongType()), False),
+            StructField("poss", ArrayType(LongType()), False),
+        ]
+    )
+
+    def _fp(batches):
+        for pdf in batches:
+            ids, fps_col, pos_col = [], [], []
+            for doc_id, text in zip(pdf[key_col], pdf[text_col]):
+                data = np.frombuffer(
+                    (text or "").encode("utf-8", "surrogatepass"), dtype=np.uint8
+                )
+                h = _gram_hashes(data, k)
+                sel = winnow(h, w)
+                ids.append(doc_id)
+                fps_col.append(h[sel].astype(np.int64).tolist())
+                pos_col.append(sel.tolist())
+            yield pd.DataFrame({"doc_id": ids, "fps": fps_col, "poss": pos_col})
+
+    exploded = (
+        docs.select(key_col, text_col)
+        .mapInPandas(_fp, schema=out_schema)
+        .select(
+            "doc_id",
+            F.explode(F.arrays_zip("fps", "poss")).alias("z"),
+        )
+        .select("doc_id", F.col("z.fps").alias("fp"), F.col("z.poss").alias("pos"))
+    )
+    return exploded
+
+
+def substring_candidates(
+    fps: DataFrame, bucket_cap: int = 200
+) -> DataFrame:
+    """(a, b, pos_a, pos_b): doc pairs sharing a winnowed fingerprint, with
+    one alignment per (pair, fingerprint bucket). Bucket-capped."""
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("members"))
+        .where((F.size("members") >= 2) & (F.size("members") <= bucket_cap))
+        .select(F.array_sort("members").alias("members"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "members",
+            lambda x, i: F.transform(
+                F.slice(F.col("members"), i + 2, F.size("members")),
+                lambda y: F.struct(
+                    x["doc_id"].alias("a"),
+                    y["doc_id"].alias("b"),
+                    x["pos"].alias("pos_a"),
+                    y["pos"].alias("pos_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.a", "p.b", "p.pos_a", "p.pos_b")
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b", "pos_a", "pos_b"])
+    )
+
+
+def verify_substring_pairs(
+    cands: DataFrame,
+    docs: DataFrame,
+    min_len: int,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Extend the aligned match exactly; keep (a, b, match_len) pairs whose
+    true common substring >= min_len. a < b canonical order on output."""
+    texts = docs.select(F.col(key_col).alias("_k"), F.col(text_col).alias("_t"))
+    joined = (
+        cands.join(texts.withColumnRenamed("_t", "_ta"), F.col("a") == F.col("_k"))
+        .drop("_k")
+        .join(texts.withColumnRenamed("_t", "_tb"), F.col("b") == F.col("_k"))
+        .drop("_k")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("a", LongType(), False),
+            StructField("b", LongType(), False),
+            StructField("match_len", LongType(), False),
+        ]
+    )
+
+    def _verify(batches):
+        for pdf in batches:
+            rows = []
+            for a, b, pa, pb, ta, tb in zip(
+                pdf["a"], pdf["b"], pdf["pos_a"], pdf["pos_b"], pdf["_ta"], pdf["_tb"]
+            ):
+                ba = (ta or "").encode("utf-8", "surrogatepass")
+                bb = (tb or "").encode("utf-8", "surrogatepass")
+                pa, pb = int(pa), int(pb)
+                # extend right
+                r = 0
+                while pa + r < len(ba) and pb + r < len(bb) and ba[pa + r] == bb[pb + r]:
+                    r += 1
+                # extend left
+                left = 0
+                while pa - left - 1 >= 0 and pb - left - 1 >= 0 and ba[pa - left - 1] == bb[pb - left - 1]:
+                    left += 1
+                total = left + r
+                if total >= min_len:
+                    rows.append((min(int(a), int(b)), max(int(a), int(b)), total))
+            yield pd.DataFrame(rows, columns=["a", "b", "match_len"])
+
+    return (
+        joined.mapInPandas(_verify, schema=out_schema)
+        .groupBy("a", "b")
+        .agg(F.max("match_len").alias("match_len"))
+    )
+
+
+def substring_dedup_edges(
+    docs: DataFrame,
+    k: int = 50,
+    w: int = 40,
+    bucket_cap: int = 200,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Full pass: docs -> (a, b, match_len) edges with an exact common
+    substring of length >= k + w - 1 (the winnowing guarantee bound)."""
+    fps = fingerprints_table(docs, k, w, key_col, text_col)
+    cands = substring_candidates(fps, bucket_cap)
+    return verify_substring_pairs(cands, docs, min_len=k + w - 1, key_col=key_col, text_col=text_col)

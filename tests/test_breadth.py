@@ -1,0 +1,265 @@
+"""Breadth operators: forest top-k, ensemble containment, bloom filter,
+weighted minhash, HLL, exact-substring pass, ANN."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from datasketch_spark.config import DedupConfig
+from datasketch_spark.functions.hashing import sha1_hash32
+from datasketch_spark.functions.minhash import make_signature_from_tokens_udf
+from datasketch_spark.functions.weighted import (
+    make_weighted_minhash_udf,
+    weighted_jaccard_col,
+    weighted_minhash_np,
+    weighted_params,
+)
+from datasketch_spark.operators.ann import brute_force_topk, simhash_bucketed_pairs, cosine_pairs
+from datasketch_spark.operators.bloom import LSHBloomFilter
+from datasketch_spark.operators.ensemble import (
+    EnsembleConfig,
+    containment_query,
+    ensemble_bands,
+    size_partitions,
+)
+from datasketch_spark.operators.forest import ForestConfig, prefix_table, topk_query
+from datasketch_spark.operators.hll import approx_distinct, hll_estimate, hll_merge_agg, hll_sketch
+from datasketch_spark.operators.suffix import substring_dedup_edges, winnow
+
+TOKENS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("tokens", ArrayType(LongType()), False),
+        StructField("set_size", IntegerType(), False),
+    ]
+)
+
+
+def _abc_grams_df(spark):
+    # reference test_lshforest.py:12-23 fixture: keys a..x, 3-char windows
+    # of the alphabet starting at the key's position.
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    rows = []
+    for i in range(len(alphabet) - 2):
+        grams = [alphabet[j : j + 3] for j in range(i, len(alphabet) - 2)]
+        rows.append(
+            (i, [sha1_hash32(g.encode()) for g in grams], len(grams))
+        )
+    return spark.createDataFrame(rows, TOKENS_SCHEMA)
+
+
+def test_forest_self_recall_topk(spark):
+    # Self-similarity: each key's own prefix table must put itself at
+    # rank 1 when queried (reference test_lshforest.py:60-64 analogue,
+    # here with self excluded -> check nearest neighbor is i±1 chain).
+    fcfg = ForestConfig(num_perm=128, l_trees=8)
+    df = _abc_grams_df(spark)
+    udf = make_signature_from_tokens_udf(128, 1)
+    sigs = df.withColumn("sig", udf("tokens")).select("doc_id", "sig")
+    prefixes = prefix_table(sigs, fcfg)
+    queries = sigs.withColumnRenamed("doc_id", "query_id")
+    res = topk_query(prefixes, queries, sigs, fcfg, k=3)
+    rows = res.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    # Every query gets results, and the top hit is an adjacent key (the
+    # most-overlapping set by construction).
+    assert len(by_q) == 24
+    for q, hits in by_q.items():
+        hits.sort()
+        top = hits[0][1]
+        assert abs(top - q) == 1, (q, hits)
+
+
+def test_ensemble_self_containment(spark):
+    # reference test_lshensemble.py:24-44: sets {0..size-1}; querying each
+    # indexed set with itself (containment 1.0) must return the key.
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(64):
+        size = int(rng.randint(1, 100))
+        toks = [sha1_hash32(str(v).encode()) for v in range(size)]
+        rows.append((i, toks, size))
+    df = spark.createDataFrame(rows, TOKENS_SCHEMA)
+    udf = make_signature_from_tokens_udf(128, 1)
+    sigs = df.withColumn("sig", udf("tokens")).select("doc_id", "sig", "set_size")
+    ecfg = EnsembleConfig(threshold=0.8, num_perm=128, num_part=8, m=8)
+    parts = size_partitions(sigs, ecfg)
+    assert parts[0][0] <= parts[-1][1]
+    bands = ensemble_bands(sigs, ecfg, parts)
+    queries = sigs.select(
+        F.col("doc_id").alias("query_id"), "sig", "set_size"
+    )
+    res = containment_query(bands, queries, ecfg, parts)
+    got = {(r["query_id"], r["doc_id"]) for r in res.collect()}
+    for i in range(64):
+        assert (i, i) in got, f"key {i} not self-returned"
+
+
+def test_bloom_prefilter(spark):
+    cfg = DedupConfig(threshold=0.5)
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(60):
+        toks = [sha1_hash32(f"{i}-{j}".encode()) for j in range(30)]
+        rows.append((i, toks, 30))
+    df = spark.createDataFrame(rows, TOKENS_SCHEMA)
+    udf = make_signature_from_tokens_udf(128, 1)
+    sigs = df.withColumn("sig", udf("tokens")).select("doc_id", "sig")
+    bloom = LSHBloomFilter(sigs, cfg)
+    # Members must all hit (no false negatives).
+    marked = bloom.mark_candidates(sigs)
+    assert marked.where("NOT maybe_dup").count() == 0
+    # Novel sets should mostly miss.
+    novel = spark.createDataFrame(
+        [
+            (1000 + i, [sha1_hash32(f"novel{i}-{j}".encode()) for j in range(30)], 30)
+            for i in range(40)
+        ],
+        TOKENS_SCHEMA,
+    )
+    nsigs = novel.withColumn("sig", udf("tokens")).select("doc_id", "sig")
+    nmarked = bloom.mark_candidates(nsigs)
+    assert nmarked.where("maybe_dup").count() <= 4  # fpp slack
+
+
+def test_weighted_minhash_vectorized_matches_reference_loop(spark):
+    dim, sample_size, seed = 20, 64, 1
+    rs, ln_cs, betas = weighted_params(dim, sample_size, seed)
+    rng = np.random.RandomState(2)
+    v = rng.uniform(1, 10, size=dim).astype(np.float32)
+    v[3] = 0.0
+    # Reference per-sample loop (weighted_minhash.py:146-158), re-derived.
+    vv = v.copy()
+    vv[vv == 0] = np.nan
+    vlog = np.log(vv)
+    expected = np.zeros((sample_size, 2), dtype=int)
+    for i in range(sample_size):
+        t = np.floor((vlog / rs[i]) + betas[i])
+        ln_y = (t - betas[i]) * rs[i]
+        ln_a = ln_cs[i] - ln_y - rs[i]
+        k = int(np.nanargmin(ln_a))
+        expected[i] = (k, int(t[k]))
+    got = weighted_minhash_np(v, rs, ln_cs, betas)
+    assert (got == expected).all()
+
+
+def test_weighted_minhash_udf_and_jaccard(spark):
+    dim = 30
+    rng = np.random.RandomState(4)
+    base = rng.uniform(1, 10, size=dim).astype(float)
+    similar = base.copy()
+    similar[:3] *= 1.5
+    different = rng.uniform(1, 10, size=dim).astype(float)
+    schema = StructType(
+        [
+            StructField("vid", LongType(), False),
+            StructField("vec", ArrayType(FloatType()), False),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(0, base.tolist()), (1, similar.tolist()), (2, different.tolist())],
+        schema,
+    )
+    udf = make_weighted_minhash_udf(dim, sample_size=128, seed=1)
+    w = df.withColumn("wmh", udf("vec"))
+    rows = {r["vid"]: r["wmh"] for r in w.collect()}
+    assert all(len(v) == 128 for v in rows.values())
+    pair = (
+        w.where("vid=0").select(F.col("wmh").alias("w1"))
+        .crossJoin(w.where("vid=1").select(F.col("wmh").alias("w2")))
+        .select(weighted_jaccard_col("w1", "w2").alias("j"))
+        .collect()[0]["j"]
+    )
+    pair_diff = (
+        w.where("vid=0").select(F.col("wmh").alias("w1"))
+        .crossJoin(w.where("vid=2").select(F.col("wmh").alias("w2")))
+        .select(weighted_jaccard_col("w1", "w2").alias("j"))
+        .collect()[0]["j"]
+    )
+    assert pair > pair_diff  # similar vectors estimate higher
+
+
+def test_hll_wrappers(spark):
+    df = spark.range(5000).select(
+        F.concat(F.lit("a-"), F.col("id"), F.lit("-"), F.col("id")).alias("val"),
+        (F.col("id") % 2).alias("g"),
+    )
+    est = df.agg(approx_distinct("val", p=12).alias("e")).collect()[0]["e"]
+    assert abs(est - 5000) / 5000 < 0.05
+    # Mergeable sketch path: union of per-group sketches ~= global.
+    sketches = df.groupBy("g").agg(hll_sketch("val", p=12).alias("sk"))
+    merged = sketches.agg(
+        hll_estimate(hll_merge_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    assert abs(merged - 5000) / 5000 < 0.05
+
+
+def test_winnow_guarantee():
+    rng = np.random.RandomState(0)
+    h = rng.randint(0, 2**32, size=500).astype(np.uint64)
+    pos = winnow(h, 40)
+    # Every window of 40 consecutive grams contains a selected position.
+    for start in range(0, 500 - 40 + 1):
+        assert ((pos >= start) & (pos < start + 40)).any()
+
+
+def test_substring_pass_finds_planted_long_match(spark):
+    rng = np.random.RandomState(1)
+    letters = "abcdefghijklmnopqrstuvwxyz "
+    def rand_text(n):
+        return "".join(letters[i] for i in rng.randint(0, len(letters), size=n))
+    shared = rand_text(200)
+    docs = [
+        (0, rand_text(300) + shared + rand_text(100)),
+        (1, rand_text(150) + shared + rand_text(250)),
+        (2, rand_text(600)),
+        (3, rand_text(50)),  # shorter than k
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    edges = substring_dedup_edges(df, k=50, w=40).collect()
+    pairs = {(r["a"], r["b"]): r["match_len"] for r in edges}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] >= 200
+    assert all(p == (0, 1) for p in pairs)
+
+
+def test_ann_topk_and_simhash_recall(spark):
+    rng = np.random.RandomState(7)
+    # 3 well-separated gaussian clusters of vectors.
+    centers = rng.normal(size=(3, 32)) * 5
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(size=32) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    schema = StructType(
+        [
+            StructField("vec_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType()), False),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    topk = brute_force_topk(df, df.where("vec_id < 6"), k=5)
+    for r in topk.collect():
+        assert r["query_id"] % 3 == r["neighbor_id"] % 3  # same cluster
+    exact = {
+        (r["a"], r["b"])
+        for r in cosine_pairs(df, min_sim=0.99).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in simhash_bucketed_pairs(df, min_sim=0.99, n_bits=8, n_tables=6).collect()
+    }
+    assert approx <= exact
+    assert len(approx) >= 0.9 * len(exact)  # high recall on tight clusters
