@@ -74,13 +74,12 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     well-distributed hash values without any per-token Python.
     """
     with np.errstate(over="ignore"):
-        x = x.astype(np.uint64, copy=True)
-        x += np.uint64(0x9E3779B97F4A7C15)
-        x ^= x >> np.uint64(30)
-        x *= np.uint64(0xBF58476D1CE4E5B9)
-        x ^= x >> np.uint64(27)
-        x *= np.uint64(0x94D049BB133111EB)
-        x ^= x >> np.uint64(31)
+        x = x.astype(np.uint64, copy=False) + np.uint64(0x9E3779B97F4A7C15)
+        x = x ^ (x >> np.uint64(30))
+        x = x * np.uint64(0xBF58476D1CE4E5B9)
+        x = x ^ (x >> np.uint64(27))
+        x = x * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
     return x
 
 
@@ -92,31 +91,49 @@ def fast_hash32_batch(packed: np.ndarray) -> np.ndarray:
     return _splitmix64(packed) & MAX_HASH
 
 
+def _permute_fold_inplace(
+    hv_slice: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    buf: np.ndarray,
+    hi: np.ndarray,
+) -> np.ndarray:
+    """In-place ``(a*hv+b) % p & max`` over a token chunk.
+
+    The modulo uses the Mersenne identity 2^61 ≡ 1 (mod p): for
+    x = H·2^61 + L, x ≡ H + L (mod p), one conditional subtract — bit-exact
+    with ``% p`` of the (uint64-wrapped) product, which is exactly the
+    reference's arithmetic (``minhash.py:223``: numpy uint64 wraps too).
+    Shift/and/add replace the ~90ns/elem uint64 division, and the chunked
+    buffers stay cache-resident so 32 workers don't fight over DRAM
+    bandwidth.
+    """
+    m = len(hv_slice)
+    bf = buf[:m]
+    h = hi[:m]
+    np.multiply(hv_slice[:, None], a[None, :], out=bf)
+    bf += b
+    np.right_shift(bf, np.uint64(61), out=h)
+    bf &= MERSENNE_PRIME
+    bf += h
+    np.subtract(bf, MERSENNE_PRIME, out=bf, where=bf >= MERSENNE_PRIME)
+    bf &= MAX_HASH
+    return bf
+
+
 def permute_min(
     hashvalues: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    chunk_tokens: int = 1 << 17,
+    chunk_tokens: int = 512,
 ) -> np.ndarray:
     """MinHash of one token-hash set: ``min((a*hv+b) % p & max, axis=0)``.
 
     Matches reference ``MinHash.update_batch`` math (``minhash.py:293-297``)
-    exactly. Chunked over the token axis so the (n_tokens x num_perm) uint64
-    matrix stays ~100MB regardless of document size.
+    exactly (see ``_permute_fold_inplace``).
     """
-    num_perm = len(a)
-    out = np.full(num_perm, MAX_HASH, dtype=np.uint64)
-    if len(hashvalues) == 0:
-        return out
-    hv = hashvalues.astype(np.uint64, copy=False)
-    with np.errstate(over="ignore"):
-        for start in range(0, len(hv), chunk_tokens):
-            chunk = hv[start : start + chunk_tokens]
-            phv = np.bitwise_and(
-                (chunk[:, None] * a + b) % MERSENNE_PRIME, MAX_HASH
-            )
-            np.minimum(out, phv.min(axis=0), out=out)
-    return out
+    offsets = np.array([0, len(hashvalues)], dtype=np.int64)
+    return permute_min_segments(hashvalues, offsets, a, b, chunk_tokens)[0]
 
 
 def permute_min_segments(
@@ -124,53 +141,49 @@ def permute_min_segments(
     offsets: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    chunk_tokens: int = 1 << 17,
+    chunk_tokens: int = 512,
 ) -> np.ndarray:
-    """Batched MinHash over many documents at once.
+    """Batched MinHash over contiguous doc segments: doc i owns
+    ``hashvalues[offsets[i]:offsets[i+1]]`` (offsets len n_docs+1)."""
+    return permute_min_ranges(
+        hashvalues, offsets[:-1], offsets[1:], a, b, chunk_tokens
+    )
 
-    ``hashvalues``: concatenated token hashes for all docs in the batch.
-    ``offsets``: int64 array of length n_docs+1; doc i owns
-    ``hashvalues[offsets[i]:offsets[i+1]]``.
 
-    Returns (n_docs, num_perm) uint64. Empty docs get all-MAX_HASH rows
-    (reference init state, ``minhash.py:165-168``).
+def permute_min_ranges(
+    hashvalues: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    chunk_tokens: int = 512,
+) -> np.ndarray:
+    """Batched MinHash over per-doc index RANGES into one hash array.
 
-    The permute matrix is computed for a whole chunk of tokens then reduced
-    per document with ``np.minimum.reduceat`` — one BLAS-free vectorized op
-    per chunk instead of per doc. Chunks are aligned to document boundaries.
+    Doc i owns ``hashvalues[starts[i]:ends[i]]``; ranges may be
+    non-contiguous / out of order (this lets the shingler leave junk
+    windows between docs instead of gathering — gathers and np.repeat are
+    the slow paths on this class of hardware). Empty ranges get the
+    all-MAX_HASH init state (reference ``minhash.py:165-168``).
+
+    Per-doc chunked processing with two reused (chunk x num_perm) buffers:
+    at chunk=512 the working set is ~1MB — cache-resident, which keeps 32
+    parallel workers off the DRAM-bandwidth wall (measured ~14x over the
+    naive full-matrix + uint64-division version).
     """
-    n_docs = len(offsets) - 1
+    n_docs = len(starts)
     num_perm = len(a)
     out = np.full((n_docs, num_perm), MAX_HASH, dtype=np.uint64)
     if len(hashvalues) == 0 or n_docs == 0:
         return out
     hv = hashvalues.astype(np.uint64, copy=False)
-
-    doc_start = 0
+    buf = np.empty((chunk_tokens, num_perm), dtype=np.uint64)
+    hi = np.empty((chunk_tokens, num_perm), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        while doc_start < n_docs:
-            # Greedily take docs until the chunk has ~chunk_tokens tokens.
-            doc_end = doc_start + 1
-            while (
-                doc_end < n_docs
-                and offsets[doc_end + 1] - offsets[doc_start] <= chunk_tokens
-            ):
-                doc_end += 1
-            lo, hi = int(offsets[doc_start]), int(offsets[doc_end])
-            if hi > lo:
-                phv = np.bitwise_and(
-                    (hv[lo:hi, None] * a + b) % MERSENNE_PRIME, MAX_HASH
-                )
-                local_off = (offsets[doc_start : doc_end + 1] - lo).astype(np.int64)
-                # reduceat needs strictly valid starts; guard empty docs.
-                starts = local_off[:-1]
-                nonempty = local_off[1:] > starts
-                if nonempty.all():
-                    out[doc_start:doc_end] = np.minimum.reduceat(phv, starts, axis=0)
-                else:
-                    for i in range(doc_start, doc_end):
-                        s, e = int(offsets[i] - lo), int(offsets[i + 1] - lo)
-                        if e > s:
-                            out[i] = phv[s:e].min(axis=0)
-            doc_start = doc_end
+        for i in range(n_docs):
+            s, e = int(starts[i]), int(ends[i])
+            for cs in range(s, e, chunk_tokens):
+                ce = min(cs + chunk_tokens, e)
+                bf = _permute_fold_inplace(hv[cs:ce], a, b, buf, hi)
+                np.minimum(out[i], bf.min(axis=0), out=out[i])
     return out

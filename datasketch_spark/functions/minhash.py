@@ -21,6 +21,7 @@ from pyspark.sql.types import ArrayType, LongType
 from datasketch_spark.functions.hashing import (
     MAX_HASH,
     permutations,
+    permute_min_ranges,
     permute_min_segments,
 )
 from datasketch_spark.functions.shingles import batch_shingle_hashes
@@ -42,8 +43,10 @@ def make_signature_udf(
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_sig(texts: pd.Series) -> pd.Series:
-        hv, offsets = batch_shingle_hashes(texts.tolist(), shingle_k, hash_mode)
-        sigs = permute_min_segments(hv, offsets, a, b)
+        hv, starts, ends = batch_shingle_hashes(
+            texts.tolist(), shingle_k, hash_mode
+        )
+        sigs = permute_min_ranges(hv, starts, ends, a, b)
         # int64 view is lossless: values <= 2^32-1.
         sigs_i64 = sigs.astype(np.int64)
         return pd.Series(list(sigs_i64))

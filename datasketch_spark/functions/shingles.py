@@ -28,6 +28,8 @@ def byte_shingles(text: str, k: int) -> list[bytes]:
     whole text as a single shingle so no document is empty.
     """
     data = text.encode("utf-8", "surrogatepass")
+    if not data:
+        return []  # empty text -> empty set (never-updated signature)
     if len(data) <= k:
         return [data]
     return [data[i : i + k] for i in range(len(data) - k + 1)]
@@ -42,6 +44,8 @@ def _pack_windows_u64(data: np.ndarray, k: int) -> np.ndarray:
     """View a uint8 array as all its k-byte windows packed big-endian into
     uint64 (k <= 8). Fully vectorized: k strided adds."""
     n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
     if n <= k:
         out = np.uint64(0)
         for byte in data.astype(np.uint64):
@@ -62,25 +66,79 @@ def shingle_hashes_fast(text: str, k: int) -> np.ndarray:
     return np.unique(fast_hash32_batch(packed))
 
 
+def _batch_fast(texts, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch vectorized shingling with ZERO gather/scatter.
+
+    All texts are concatenated with k-1 0x00 separator bytes; windows are
+    packed and mixed ONCE over the full buffer (separator-crossing junk
+    windows included — ~(k-1)/avg_len overhead); each doc then points at
+    its contiguous VALID window range [start, start+len-k+1) inside the
+    full window array. No np.repeat / fancy indexing — those are the slow
+    numpy paths on this hardware; everything here is SIMD elementwise.
+    Shingle multiplicity is kept (MinHash is multiplicity-invariant).
+
+    Returns (hashvalues, starts, ends) for ``permute_min_ranges``.
+    """
+    n = len(texts)
+    encoded = [
+        t.encode("utf-8", "surrogatepass") if t is not None else b"" for t in texts
+    ]
+    lens = np.array([len(b) for b in encoded], dtype=np.int64)
+    long_mask = lens >= k
+    sep = b"\x00" * (k - 1)
+    buf = np.frombuffer(sep.join(encoded), dtype=np.uint8)
+    if len(buf) == 0:
+        z = np.zeros(n, dtype=np.int64)
+        return np.empty(0, dtype=np.uint64), z, z
+    packed = _pack_windows_u64(buf, k)
+    doc_starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        doc_starts[1:] = np.cumsum(lens[:-1] + (k - 1))
+    counts = np.where(long_mask, lens - k + 1, 0)
+    starts = doc_starts
+    ends = doc_starts + counts
+    # Short non-empty docs (rare): whole text is the single shingle,
+    # appended past the window array.
+    short_idx = np.nonzero(~long_mask & (lens > 0))[0]
+    if len(short_idx):
+        extra = np.empty(len(short_idx), dtype=np.uint64)
+        for j, i in enumerate(short_idx):
+            acc = np.uint64(0)
+            for byte in encoded[i]:
+                acc = (acc << np.uint64(8)) | np.uint64(byte)
+            extra[j] = acc
+        base = len(packed)
+        starts = starts.copy()
+        ends = ends.copy()
+        starts[short_idx] = base + np.arange(len(short_idx))
+        ends[short_idx] = starts[short_idx] + 1
+        packed = np.concatenate([packed, extra])
+    return fast_hash32_batch(packed), starts, ends
+
+
 def batch_shingle_hashes(
     texts, k: int, mode: str = "fast"
-) -> tuple[np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Shingle+hash a batch of texts.
 
-    Returns ``(hashvalues, offsets)``: concatenated distinct token hashes and
-    int64 offsets (len n+1) — the segment layout ``permute_min_segments``
-    consumes. Null/None texts become empty segments.
+    Returns ``(hashvalues, starts, ends)``: a hash array plus per-doc index
+    ranges — the layout ``permute_min_ranges`` consumes. Null/empty texts
+    get empty ranges (never-updated signature). Fast mode keeps duplicate
+    shingles (MinHash-invariant); parity mode returns the distinct set like
+    the reference's docs examples.
     """
-    fn = shingle_hashes_fast if mode == "fast" else shingle_hashes_sha1
+    if mode == "fast":
+        return _batch_fast(texts, k)
     chunks: list[np.ndarray] = []
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     for i, t in enumerate(texts):
         if t is None:
             offsets[i + 1] = offsets[i]
             continue
-        h = fn(t, k)
+        h = shingle_hashes_sha1(t, k)
         chunks.append(h)
         offsets[i + 1] = offsets[i] + len(h)
-    if chunks:
-        return np.concatenate(chunks), offsets
-    return np.empty(0, dtype=np.uint64), offsets
+    hv = (
+        np.concatenate(chunks) if chunks else np.empty(0, dtype=np.uint64)
+    )
+    return hv, offsets[:-1], offsets[1:]

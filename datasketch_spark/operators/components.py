@@ -98,6 +98,49 @@ def connected_components(
     return labels.union(roots).distinct()
 
 
+def _driver_union_find(edge_rows) -> list[tuple[int, int]]:
+    """Plain union-find with path halving; label = min node of component."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min so the root IS the min label
+            lo, hi2 = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi2] = lo
+    return [(x, find(x)) for x in parent.keys() | {v for v in parent.values()}]
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    driver_max_edges: int = 2_000_000,
+    max_iterations: int = 20,
+    checkpoint=None,
+) -> DataFrame:
+    """Hybrid CC: if the edge set is small enough (dedup edge sets are tiny
+    relative to the corpus — dup rate x corpus, not corpus^2), collect and
+    run union-find on the driver (one job instead of ~4 shuffles x rounds);
+    above the threshold, use distributed large-star/small-star.
+    """
+    spark = edges.sparkSession
+    n = edges.count()
+    if n == 0:
+        return spark.createDataFrame([], "node long, component long")
+    if n <= driver_max_edges:
+        rows = edges.select("u", "v").collect()
+        labels = _driver_union_find([(r["u"], r["v"]) for r in rows])
+        return spark.createDataFrame(labels, "node long, component long")
+    return connected_components(edges, max_iterations, checkpoint)
+
+
 def attach_cluster_ids(
     docs: DataFrame,
     labels: DataFrame,

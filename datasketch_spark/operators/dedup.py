@@ -22,7 +22,7 @@ from datasketch_spark.config import DedupConfig
 from datasketch_spark.operators import lsh
 from datasketch_spark.operators.components import (
     attach_cluster_ids,
-    connected_components,
+    connected_components_auto,
 )
 from datasketch_spark.operators.verify import verify_pairs_est
 from datasketch_spark.sources.io import CheckpointManager, NoopCheckpoints
@@ -60,20 +60,27 @@ def dedup_pipeline(
         "doc_id", F.col(key_col).alias("url"), F.col(text_col).alias("text")
     )
 
+    # Signatures are the only stage worth materializing mid-pipeline: they
+    # are consumed twice (banding + verification) and are the expensive UDF
+    # output. bands/cand_pairs are cheap projections that flow straight
+    # into the next shuffle — materializing them would only add I/O. With a
+    # persistent CheckpointManager they are still written for resume.
     sigs = lsh.with_signature(docs, cfg, text_col="text")
     sigs = ckpt.materialize(sigs.select("doc_id", "sig"), "signatures")
 
     bands = lsh.bands_table(sigs, cfg)
-    bands = ckpt.materialize(bands, "bands")
+    if ckpt.enabled:
+        bands = ckpt.materialize(bands, "bands")
 
     pairs = lsh.candidate_pairs(bands, cfg)
-    pairs = ckpt.materialize(pairs, "cand_pairs")
+    if ckpt.enabled:
+        pairs = ckpt.materialize(pairs, "cand_pairs")
 
     verified = verify_pairs_est(pairs, sigs, cfg)
     verified = ckpt.materialize(verified, "verified")
 
     edges = verified.select(F.col("a").alias("u"), F.col("b").alias("v"))
-    labels = connected_components(edges)
+    labels = connected_components_auto(edges)
 
     clusters = attach_cluster_ids(
         docs.select("doc_id", "url"), labels, key_col="doc_id"

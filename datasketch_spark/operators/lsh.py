@@ -56,8 +56,14 @@ def bands_table(
     ``posexplode`` of the band-hash array: b rows per doc, one shuffle on
     write. At scale this table is written bucketed by band_hash so the
     self-join below is co-located.
+
+    Docs with an empty signature (null/empty text — never updated) are
+    excluded: they all share one constant signature, which would form a
+    single giant artificial bucket. They remain singletons downstream.
     """
-    return sig_df.select(
+    from datasketch_spark.functions.minhash import is_empty_col
+
+    return sig_df.where(~is_empty_col(sig_col, cfg.num_perm)).select(
         F.col(key_col),
         F.posexplode(band_hash_array(cfg, sig_col)).alias("band_idx", "band_hash"),
     )

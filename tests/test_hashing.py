@@ -123,9 +123,17 @@ def test_shingle_hash_modes_in_32bit_range():
 
 
 def test_batch_shingle_hashes_none_handling():
-    hv, off = batch_shingle_hashes(["abcdefgh", None, "abcdefgh"], 5)
-    assert off.tolist()[1] - off.tolist()[0] == off.tolist()[3] - off.tolist()[2]
-    assert off[2] == off[1]  # None -> empty segment
+    for mode in ("fast", "parity"):
+        hv, starts, ends = batch_shingle_hashes(
+            ["abcdefgh", None, "abcdefgh", ""], 5, mode
+        )
+        lens = (ends - starts).tolist()
+        assert lens[0] == lens[2] == 4  # 8-k+1 windows
+        assert lens[1] == 0  # None -> empty range
+        assert lens[3] == 0  # "" -> empty range
+        assert (
+            hv[starts[0] : ends[0]].tolist() == hv[starts[2] : ends[2]].tolist()
+        )
 
 
 def test_jaccard_estimate_accuracy():
