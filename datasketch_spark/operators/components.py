@@ -130,15 +130,22 @@ def connected_components_auto(
     run union-find on the driver (one job instead of ~4 shuffles x rounds);
     above the threshold, use distributed large-star/small-star.
     """
+    import pandas as pd
+
     spark = edges.sparkSession
-    n = edges.count()
-    if n == 0:
+    # One pass: pull up to the threshold+1 edges; only if the limit is hit
+    # do we pay for the distributed path (a count-first approach would scan
+    # the edge set twice).
+    pdf = edges.select("u", "v").limit(driver_max_edges + 1).toPandas()
+    if len(pdf) > driver_max_edges:
+        return connected_components(edges, max_iterations, checkpoint)
+    if len(pdf) == 0:
         return spark.createDataFrame([], "node long, component long")
-    if n <= driver_max_edges:
-        rows = edges.select("u", "v").collect()
-        labels = _driver_union_find([(r["u"], r["v"]) for r in rows])
-        return spark.createDataFrame(labels, "node long, component long")
-    return connected_components(edges, max_iterations, checkpoint)
+    labels = _driver_union_find(list(zip(pdf["u"].tolist(), pdf["v"].tolist())))
+    if not labels:
+        return spark.createDataFrame([], "node long, component long")
+    # Arrow path: much faster than the pickled list-of-tuples path.
+    return spark.createDataFrame(pd.DataFrame(labels, columns=["node", "component"]))
 
 
 def attach_cluster_ids(

@@ -94,6 +94,9 @@ def dedup_pipeline(
         "cand_pairs": pairs,
         "verified": verified,
         "clusters": clusters,
+        # Lazy skew diagnostic (reference get_counts, lsh.py:560-589):
+        # buckets excluded by the cap — evaluate to audit what was dropped.
+        "dropped_buckets": lsh.dropped_buckets(bands, cfg),
     }
 
 

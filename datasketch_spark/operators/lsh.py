@@ -23,6 +23,8 @@ no Python UDFs.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,13 +62,39 @@ def bands_table(
     Docs with an empty signature (null/empty text — never updated) are
     excluded: they all share one constant signature, which would form a
     single giant artificial bucket. They remain singletons downstream.
+    The exclusion filters on the (precomputed, per-band) band hashes of
+    the empty signature AFTER explode — filtering on the sig column before
+    the projection would make Catalyst evaluate the signature UDF twice
+    (once for the filter, once for the band array).
     """
-    from datasketch_spark.functions.minhash import is_empty_col
-
-    return sig_df.where(~is_empty_col(sig_col, cfg.num_perm)).select(
+    empty_band_hashes = _empty_band_hashes(sig_df.sparkSession, cfg)
+    exploded = sig_df.select(
         F.col(key_col),
         F.posexplode(band_hash_array(cfg, sig_col)).alias("band_idx", "band_hash"),
     )
+    return exploded.where(
+        ~F.col("band_hash").isin([h for h in empty_band_hashes])
+    )
+
+
+@lru_cache(maxsize=16)
+def _empty_band_hashes(spark, cfg: DedupConfig) -> tuple:
+    """The b band hashes of the never-updated (all-MAX_HASH) signature —
+    computed once with the same expressions used by band_hash_array."""
+    from datasketch_spark.functions.hashing import MAX_HASH
+
+    row = spark.range(1).select(
+        F.array(
+            *[
+                F.xxhash64(
+                    F.lit(i),
+                    F.array_repeat(F.lit(int(MAX_HASH)).cast("long"), cfg.r),
+                )
+                for i in range(cfg.b)
+            ]
+        ).alias("h")
+    ).collect()[0]
+    return tuple(row["h"])
 
 
 def bucket_histogram(bands: DataFrame) -> DataFrame:

@@ -1,0 +1,76 @@
+"""Physical-plan budget tests: shuffles, pushdown, Python-boundary count.
+
+These pin the plan shape the engine promises at scale; adding an
+accidental Exchange or a second Python eval node fails here, not on the
+cluster.
+"""
+
+from pyspark.sql import functions as F
+
+from datasketch_spark.config import DedupConfig
+from datasketch_spark.operators import lsh
+from datasketch_spark.operators.verify import verify_pairs_est
+from datasketch_spark.plans.inspect import (
+    plan_str,
+    pushed_filters,
+    python_eval_count,
+    scan_read_schemas,
+    shuffle_count,
+)
+
+
+def test_signature_stage_single_python_boundary(spark):
+    df = spark.createDataFrame([(1, "hello world " * 10)], ["doc_id", "text"])
+    cfg = DedupConfig(threshold=0.8)
+    sigs = lsh.with_signature(df, cfg)
+    assert python_eval_count(sigs) == 1
+    # Banding adds NO further Python boundary and NO shuffle.
+    bands = lsh.bands_table(sigs, cfg)
+    assert python_eval_count(bands) == 1
+    assert shuffle_count(bands) == 0
+
+
+def test_candidate_pairs_shuffle_budget(spark):
+    df = spark.createDataFrame(
+        [(i, f"text number {i} " * 10) for i in range(10)], ["doc_id", "text"]
+    )
+    cfg = DedupConfig(threshold=0.8)
+    bands = lsh.bands_table(lsh.with_signature(df, cfg), cfg)
+    pairs = lsh.candidate_pairs(bands, cfg)
+    # One shuffle for the bucket groupBy + one for the distinct. No more.
+    assert shuffle_count(pairs) <= 2
+
+
+def test_parquet_pushdown_and_pruning(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"t{i}", "en" if i % 2 else "de", i * 10) for i in range(100)],
+        ["doc_id", "text", "lang", "n_chars"],
+    ).write.parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .where(F.col("lang") == "en")
+        .select("doc_id", "text")
+    )
+    pf = pushed_filters(df)
+    assert pf and any("lang" in f for f in pf), pf
+    schemas = scan_read_schemas(df)
+    # Column pruning: n_chars must not be read.
+    assert schemas and all("n_chars" not in s for s in schemas), schemas
+
+
+def test_verify_stage_stays_jvm_side(spark):
+    df = spark.createDataFrame(
+        [(i, f"text number {i} " * 10) for i in range(10)], ["doc_id", "text"]
+    )
+    cfg = DedupConfig(threshold=0.8)
+    sigs = lsh.with_signature(df, cfg).localCheckpoint(eager=True)
+    bands = lsh.bands_table(sigs, cfg)
+    pairs = lsh.candidate_pairs(bands, cfg)
+    verified = verify_pairs_est(pairs, sigs, cfg)
+    # After checkpointed signatures, verification is pure JVM: zero Python
+    # eval nodes (jaccard is zip_with/aggregate expressions).
+    assert python_eval_count(verified) == 0
+    assert "zip_with" in plan_str(verified, "simple") or "ZipWith" in plan_str(
+        verified, "formatted"
+    )

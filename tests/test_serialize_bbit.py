@@ -1,0 +1,95 @@
+"""LeanMinHash codec round-trip + b-bit / count / is_empty column fns."""
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datasketch_spark.functions.hashing import (
+    MAX_HASH,
+    permutations,
+    permute_min,
+    sha1_hash32_batch,
+)
+from datasketch_spark.functions.minhash import (
+    bbit_col,
+    bbit_jaccard_col,
+    count_col,
+    is_empty_col,
+    make_signature_from_tokens_udf,
+)
+from datasketch_spark.functions.serialize import (
+    lean_minhash_bytes,
+    lean_minhash_from_bytes,
+    make_deserialize_udf,
+    make_seed_extract_udf,
+    make_serialize_udf,
+)
+
+
+def test_lean_layout_matches_reference_schema():
+    # Layout: 8-byte seed, 4-byte count, count x 4-byte values
+    # (lean_minhash.py:143-147,171-175).
+    data = lean_minhash_bytes(1, [734825475, 960773806, 359816889, 342714745])
+    assert len(data) == 8 + 4 + 4 * 4
+    seed, n = struct.unpack_from("<qi", data, 0)
+    assert (seed, n) == (1, 4)
+    vals = struct.unpack_from("<4I", data, 12)
+    assert list(vals) == [734825475, 960773806, 359816889, 342714745]
+    assert lean_minhash_from_bytes(data) == (1, list(vals))
+
+
+def test_serialize_roundtrip_udf(spark):
+    udf_sig = make_signature_from_tokens_udf(16, 1)
+    df = spark.createDataFrame(
+        [(1, [123, 456, 789]), (2, None)], "doc_id long, tokens array<long>"
+    ).withColumn("sig", udf_sig("tokens"))
+    ser = df.withColumn("buf", make_serialize_udf(seed=1)("sig"))
+    rt = ser.withColumn("sig2", make_deserialize_udf()("buf")).withColumn(
+        "seed", make_seed_extract_udf()("buf")
+    )
+    rows = {r["doc_id"]: r for r in rt.collect()}
+    assert rows[1]["sig2"] == rows[1]["sig"]
+    assert rows[1]["seed"] == 1
+    assert len(rows[1]["buf"]) == 8 + 4 + 16 * 4
+    # Null tokens -> the never-updated (all-MAX) signature round-trips too.
+    assert rows[2]["sig"] == [int(MAX_HASH)] * 16
+    assert rows[2]["sig2"] == rows[2]["sig"]
+    # A genuinely null sig column serializes to null.
+    nulls = spark.createDataFrame([(3,)], "doc_id long").withColumn(
+        "sig", F.lit(None).cast("array<long>")
+    )
+    nrow = nulls.withColumn("buf", make_serialize_udf(seed=1)("sig")).collect()[0]
+    assert nrow["buf"] is None
+
+
+def test_bbit_and_count_and_empty(spark):
+    a, b = permutations(128, 1)
+    toks1 = [f"x{i}".encode() for i in range(500)]
+    toks2 = toks1[:400] + [f"y{i}".encode() for i in range(100)]  # J = 400/600
+    s1 = permute_min(sha1_hash32_batch(toks1), a, b).astype(np.int64).tolist()
+    s2 = permute_min(sha1_hash32_batch(toks2), a, b).astype(np.int64).tolist()
+    empty = [int(MAX_HASH)] * 128
+    df = spark.createDataFrame([(s1, s2, empty)], ["s1", "s2", "e"])
+    row = df.select(
+        bbit_col("s1", 4).alias("b1"),
+        bbit_col("s2", 4).alias("b2"),
+        count_col("s1", 128).alias("cnt"),
+        is_empty_col("e", 128).alias("emp"),
+        is_empty_col("s1", 128).alias("nonemp"),
+    ).collect()[0]
+    assert all(0 <= v < 16 for v in row["b1"])  # only lower 4 bits kept
+    assert row["emp"] is True and row["nonemp"] is False
+    # Cardinality estimate within 20% of 500 (reference estimator).
+    assert abs(row["cnt"] - 500) / 500 < 0.2
+    # Debiased b-bit jaccard approximates true J better than raw matches.
+    est = (
+        df.select(
+            bbit_jaccard_col(
+                bbit_col("s1", 2), bbit_col("s2", 2), b=2, r=0.0, num_perm=128
+            ).alias("j")
+        ).collect()[0]["j"]
+    )
+    true_j = 400 / 600
+    assert abs(est - true_j) < 0.15
