@@ -109,6 +109,11 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE: a size-ratio prefilter (J >= t implies gram counts within a t
+    # ratio) was measured here and REMOVED: on this corpus sizes are too
+    # uniform to prune pairs, and the extra join-side condition cost 50%
+    # (Catalyst evaluates referenced array exprs inside the join). The
+    # quadratic control is the (lang, source) blocking.
     d = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",

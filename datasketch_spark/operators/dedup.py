@@ -24,7 +24,10 @@ from datasketch_spark.operators.components import (
     attach_cluster_ids,
     connected_components_auto,
 )
-from datasketch_spark.operators.verify import verify_pairs_est
+from datasketch_spark.operators.verify import (
+    verify_pairs_est,
+    verify_pairs_exact_text,
+)
 from datasketch_spark.sources.io import CheckpointManager, NoopCheckpoints
 
 
@@ -76,7 +79,12 @@ def dedup_pipeline(
     if ckpt.enabled:
         pairs = ckpt.materialize(pairs, "cand_pairs")
 
-    verified = verify_pairs_est(pairs, sigs, cfg)
+    if cfg.verify_mode == "exact":
+        verified = verify_pairs_exact_text(pairs, docs, cfg).withColumnRenamed(
+            "jaccard", "est_jaccard"
+        )
+    else:
+        verified = verify_pairs_est(pairs, sigs, cfg)
     verified = ckpt.materialize(verified, "verified")
 
     edges = verified.select(F.col("a").alias("u"), F.col("b").alias("v"))

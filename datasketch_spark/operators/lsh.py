@@ -108,17 +108,29 @@ def candidate_pairs(
 ) -> DataFrame:
     """All-pairs dedup: distinct (a, b), a < b, sharing >= 1 LSH bucket.
 
-    Strategy: ONE shuffle (groupBy bucket, collect sorted member list) then
-    native pair expansion with nested ``transform`` — avoids the two-sided
-    shuffle of a self-join and makes the bucket cap trivial to apply before
-    the quadratic blowup. Buckets larger than ``bucket_cap`` are dropped
-    (hot buckets = boilerplate; a bucket of n yields n(n-1)/2 pairs).
-    AQE handles residual skew in the final distinct.
+    Strategy: first exclude hot buckets with a broadcast anti-join — the
+    set of buckets over ``bucket_cap`` is tiny (hot buckets = boilerplate:
+    headers, templates), and its count aggregation is map-side-combined,
+    so this costs one cheap pre-pass but guarantees no ``collect_list``
+    buffer ever exceeds bucket_cap entries (without it, one 10M-member
+    bucket OOMs the agg buffer BEFORE the size filter can drop it).
+    Then ONE shuffle (groupBy bucket, collect sorted member list) and
+    native pair expansion with nested ``transform`` — no two-sided
+    self-join shuffle. AQE handles residual skew in the final distinct.
+    A bucket of n yields n(n-1)/2 pairs; dropped buckets are surfaced by
+    ``dropped_buckets``, never silently.
     """
-    buckets = (
+    hot = (
         bands.groupBy("band_idx", "band_hash")
+        .agg(F.count("*").alias("n_keys"))
+        .where(F.col("n_keys") > cfg.bucket_cap)
+        .select("band_idx", "band_hash")
+    )
+    cold = bands.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+    buckets = (
+        cold.groupBy("band_idx", "band_hash")
         .agg(F.collect_list(key_col).alias("ids"))
-        .where((F.size("ids") >= 2) & (F.size("ids") <= cfg.bucket_cap))
+        .where(F.size("ids") >= 2)
         .select(F.array_sort("ids").alias("ids"))
     )
     # pairs(ids) = [(ids[i], ids[j]) for i < j], ids sorted -> a < b.

@@ -61,6 +61,86 @@ def exact_jaccard_col(tok1, tok2):
     )
 
 
+def verify_pairs_exact_text(
+    pairs: DataFrame,
+    docs: DataFrame,
+    cfg: DedupConfig,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b) -> (a, b, jaccard) with EXACT shingle-set Jaccard recomputed
+    from the candidate docs' texts, filtered at cfg.threshold.
+
+    Only candidate docs are re-shingled (the pair set is orders of
+    magnitude smaller than the corpus), inside one Arrow-batched
+    mapInPandas over the joined pair texts. This is the
+    ``verify_mode='exact'`` pipeline path — slower than the signature
+    estimate but removes estimator variance from the precision story.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from datasketch_spark.functions.shingles import (
+        shingle_hashes_fast,
+        shingle_hashes_sha1,
+    )
+
+    shingle_fn = (
+        shingle_hashes_fast if cfg.hash_mode == "fast" else shingle_hashes_sha1
+    )
+    k = cfg.shingle_k
+    threshold = cfg.threshold
+
+    texts = docs.select(F.col(key_col).alias("_k"), F.col(text_col).alias("_t"))
+    joined = (
+        pairs.join(texts.withColumnRenamed("_t", "_ta"), pairs["a"] == texts["_k"])
+        .drop("_k")
+        .join(texts.withColumnRenamed("_t", "_tb"), F.col("b") == F.col("_k"))
+        .drop("_k")
+        .select("a", "b", "_ta", "_tb")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("a", LongType(), False),
+            StructField("b", LongType(), False),
+            StructField("jaccard", DoubleType(), False),
+        ]
+    )
+
+    def _verify(batches):
+        cache: dict = {}
+
+        def shingles(text):
+            got = cache.get(text)
+            if got is None:
+                got = np.unique(shingle_fn(text, k)) if text else np.empty(0)
+                cache[text] = got
+            return got
+
+        for pdf in batches:
+            rows = []
+            for a, b, ta, tb in zip(pdf["a"], pdf["b"], pdf["_ta"], pdf["_tb"]):
+                sa, sb = shingles(ta), shingles(tb)
+                union = len(np.union1d(sa, sb))
+                j = (
+                    1.0
+                    if union == 0
+                    else len(np.intersect1d(sa, sb, assume_unique=True)) / union
+                )
+                if j >= threshold:
+                    rows.append((int(a), int(b), float(j)))
+            yield pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+    return joined.mapInPandas(_verify, schema=out_schema)
+
+
 def verify_pairs_exact(
     pairs: DataFrame,
     tokens_df: DataFrame,

@@ -37,8 +37,10 @@ def test_candidate_pairs_shuffle_budget(spark):
     cfg = DedupConfig(threshold=0.8)
     bands = lsh.bands_table(lsh.with_signature(df, cfg), cfg)
     pairs = lsh.candidate_pairs(bands, cfg)
-    # One shuffle for the bucket groupBy + one for the distinct. No more.
-    assert shuffle_count(pairs) <= 2
+    # Hot-bucket count pre-pass + bucket groupBy + final distinct; the
+    # anti-join side is broadcast (no extra exchange on the big side).
+    assert shuffle_count(pairs) <= 3
+    assert "BroadcastExchange" in plan_str(pairs, "simple") or shuffle_count(pairs) <= 2
 
 
 def test_parquet_pushdown_and_pruning(spark, tmp_path):
