@@ -169,6 +169,16 @@ def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs(bands_table(sigs, cfg), cfg)
 
 
+def q_substring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Exact long-substring pass (Lee et al. 2021 style, SURVEY.md 2.4):
+    # winnowed k-gram fingerprints -> aligned extend-verify. k/w scaled to
+    # the short driver docs (min exact match = k + w - 1 = 29 bytes).
+    from datasketch_spark.operators.suffix import substring_dedup_edges
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return substring_dedup_edges(docs, k=20, w=10)
+
+
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark-native HLL++ (the reference's HyperLogLogPlusPlus.count maps to
     # approx_count_distinct, SURVEY.md #18-21).
@@ -197,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "minhash_dedup": q_minhash_dedup,
         "lsh_candidates": q_lsh_candidates,
+        "substring_edges": q_substring_edges,
         "hll_cardinality": q_hll_cardinality,
     }
 

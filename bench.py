@@ -47,6 +47,7 @@ def run_queries() -> None:
     headline = [
         "minhash_dedup",
         "lsh_candidates",
+        "substring_edges",
         "exact_dup_groups",
         "word_jaccard_pairs",
         "ngram_jaccard_pairs",
