@@ -75,9 +75,10 @@ def dedup_pipeline(
     if ckpt.enabled:
         bands = ckpt.materialize(bands, "bands")
 
-    pairs = lsh.candidate_pairs(bands, cfg)
-    if ckpt.enabled:
-        pairs = ckpt.materialize(pairs, "cand_pairs")
+    # Pairs are always materialized: the verify stage joins them against
+    # the (much larger) signatures table twice, and exact pair-count stats
+    # let AQE pick the broadcast side without runtime re-planning.
+    pairs = ckpt.materialize(lsh.candidate_pairs(bands, cfg), "cand_pairs")
 
     if cfg.verify_mode == "exact":
         verified = verify_pairs_exact_text(pairs, docs, cfg).withColumnRenamed(
