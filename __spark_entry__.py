@@ -174,8 +174,20 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cfg = DedupConfig(threshold=0.5)
     clusters = dedup_pipeline(docs, cfg)["clusters"]
-    return clusters.select(
+    # Internal ids are content-addressed (xxhash64(url)); relabel each
+    # cluster by its min ORIGINAL doc_id so the output is a pure function of
+    # the deterministic sketch math — which makes the full pipeline
+    # (shingle -> splitmix64 -> 128 permutations -> 25x5 banding -> bucket
+    # pairs -> est-Jaccard verify -> connected components) exactly
+    # reproducible by the DuckDB oracle. Same partition, canonical labels.
+    out = clusters.select(
         F.col("url").cast("bigint").alias("orig_doc_id"), "cluster_id"
+    )
+    reps = out.groupBy("cluster_id").agg(
+        F.min("orig_doc_id").alias("cluster_rep")
+    )
+    return out.join(F.broadcast(reps), "cluster_id").select(
+        "orig_doc_id", "cluster_rep"
     )
 
 
@@ -190,19 +202,47 @@ def q_substring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact long-substring pass (Lee et al. 2021 style, SURVEY.md 2.4):
     # winnowed k-gram fingerprints -> aligned extend-verify. k/w scaled to
     # the short driver docs (min exact match = k + w - 1 = 29 bytes).
+    # The winnowing guarantee makes the PAIR SET exactly SQL-expressible:
+    # (a, b) iff the docs share a common substring >= 29 bytes, i.e. share
+    # a 29-gram — the DuckDB oracle is a 29-gram self-join. match_len is a
+    # separate rows-only query (longest-common-substring is not SQL).
     from datasketch_spark.operators.suffix import substring_dedup_edges
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    return substring_dedup_edges(docs, k=20, w=10)
+    # bucket_cap lifted for the oracle query: the driver corpus is 500 docs,
+    # so even a fully-shared boilerplate fingerprint is far below any memory
+    # hazard, and the oracle has no cap.
+    return substring_dedup_edges(docs, k=20, w=10, bucket_cap=100_000).select(
+        "a", "b"
+    )
+
+
+def q_substring_match_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rows-only companion to substring_edges: the extend-verify match length
+    # (= longest common substring when >= 29; not ANSI-SQL-expressible).
+    from datasketch_spark.operators.suffix import substring_dedup_edges
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return substring_dedup_edges(docs, k=20, w=10, bucket_cap=100_000)
 
 
 def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark-native HLL++ (the reference's HyperLogLogPlusPlus.count maps to
-    # approx_count_distinct, SURVEY.md #18-21).
-    return (
-        _docs(spark, sf_dir)
-        .select(F.explode(distinct_words_col("text")).alias("word"))
-        .agg(F.approx_count_distinct("word").alias("approx_words"))
+    # Reference-parity HLL (original estimator, hyperloglog.py:103-168) as
+    # native Spark expressions — deterministic, so exactly SQL-oracle-able
+    # (the md5-based 32-bit hashfunc is used because sandbox DuckDB lacks
+    # sha1; the reference accepts custom 32-bit hashfuncs the same way).
+    # The Spark-native HLL++ mapping (approx_count_distinct) stays available
+    # in operators/hll.py; its estimator is engine-internal and can never
+    # hash-match a DuckDB oracle.
+    from datasketch_spark.operators.hll import hll_count_reference, md5_hash32_col
+
+    words = _docs(spark, sf_dir).select(
+        F.explode(distinct_words_col("text")).alias("word")
+    )
+    est = hll_count_reference(words, "word", p=8, hash32=md5_hash32_col("word"))
+    exact = words.agg(F.countDistinct("word").alias("n_words_exact"))
+    return est.crossJoin(exact).select(
+        F.round("hll_estimate", 4).alias("hll_estimate"), "n_words_exact"
     )
 
 
@@ -225,6 +265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "lsh_candidates": q_lsh_candidates,
         "substring_edges": q_substring_edges,
+        "substring_match_len": q_substring_match_len,
         "hll_cardinality": q_hll_cardinality,
     }
 
@@ -237,6 +278,116 @@ _EN_STOP = "['" + "','".join(LANG_STOPWORDS["en"]) + "']"
 def _lang_score(lang: str) -> str:
     lst = "['" + "','".join(LANG_STOPWORDS[lang]) + "']"
     return f"len(list_intersect({_DWORDS}, {lst}))"
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle for the MinHash path. The sketch math is deterministic, so
+# the WHOLE pipeline is SQL-expressible with int128 (HUGEINT) arithmetic:
+#   pack 5-byte shingles big-endian -> splitmix64 -> & (2^32-1)      (tokens)
+#   min((a_j*h + b_j) mod 2^64 mod (2^61-1) & (2^32-1)) per perm     (sig)
+#   group r consecutive slots per band; equality of (band_idx, slots)
+#   IS the engine's bucket equality (xxhash64 band keys are an injective
+#   re-encoding)                                                     (bands)
+# Verified bit-equal to functions/hashing.py on golden fixtures (the
+# mulmod64 splits x*c as ((hi*c mod 2^32)<<32 + lo*c) mod 2^64 to stay
+# inside int128).
+# ---------------------------------------------------------------------------
+
+_M64 = 1 << 64
+_M32 = 1 << 32
+_MPRIME = (1 << 61) - 1
+_SM_C1 = 0x9E3779B97F4A7C15
+_SM_C2 = 0xBF58476D1CE4E5B9
+_SM_C3 = 0x94D049BB133111EB
+
+
+def _sql_mulmod64(x: str, c: int) -> str:
+    """x*c mod 2^64 without int128 overflow (x < 2^64, c < 2^64)."""
+    return (
+        f"((({x} >> 32) * {c} % {_M32}) * {_M32} + ({x} % {_M32}) * {c}) % {_M64}"
+    )
+
+
+def _minhash_oracle_ctes(cfg: DedupConfig) -> str:
+    """CTE chain (no WITH keyword) ending at ``cand`` (a, b) and ``sig``
+    (doc_id, j, v) — reproduces with_signature + bands_table +
+    candidate_pairs over the ``documents`` view, bit-for-bit."""
+    from datasketch_spark.functions.hashing import permutations
+
+    k = cfg.shingle_k
+    pa, pb = permutations(cfg.num_perm, cfg.seed)
+    params_vals = ",\n      ".join(
+        f"({j}, {int(pa[j])}, {int(pb[j])})" for j in range(cfg.num_perm)
+    )
+    pack = (
+        f"list_sum([ascii(substr(g, i, 1))::HUGEINT << (8 * (length(g) - i)) "
+        f"for i in generate_series(1, length(g))])"
+    )
+    return f"""
+    grams AS (
+      SELECT doc_id, unnest(CASE WHEN length(text) >= {k}
+          THEN [substr(text, i, {k}) for i in generate_series(1, length(text) - {k - 1})]
+          ELSE [text] END) AS g
+      FROM documents WHERE length(text) >= 1
+    ),
+    packed AS (SELECT doc_id, {pack} AS x FROM grams),
+    m1 AS (SELECT doc_id, (x + {_SM_C1}) % {_M64} AS x FROM packed),
+    m2 AS (SELECT doc_id, xor(x, x >> 30) AS x FROM m1),
+    m3 AS (SELECT doc_id, {_sql_mulmod64("x", _SM_C2)} AS x FROM m2),
+    m4 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM m3),
+    m5 AS (SELECT doc_id, {_sql_mulmod64("x", _SM_C3)} AS x FROM m4),
+    tokh AS (SELECT DISTINCT doc_id, xor(x, x >> 31) % {_M32} AS h FROM m5),
+    params(j, pa, pb) AS (VALUES {params_vals}),
+    sig AS (
+      SELECT doc_id, j,
+             CAST(min(((pa::HUGEINT * h + pb) % {_M64}) % {_MPRIME} % {_M32})
+                  AS BIGINT) AS v
+      FROM tokh CROSS JOIN params GROUP BY doc_id, j
+    ),
+    band AS (
+      SELECT doc_id, (j // {cfg.r}) AS band_idx, list(v ORDER BY j) AS bkey
+      FROM sig WHERE j < {cfg.b * cfg.r} GROUP BY doc_id, (j // {cfg.r})
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM band x JOIN band y
+        ON x.band_idx = y.band_idx AND x.bkey = y.bkey AND x.doc_id < y.doc_id
+    )"""
+
+
+def _lsh_candidates_oracle(cfg: DedupConfig) -> str:
+    return f"WITH {_minhash_oracle_ctes(cfg)}\n    SELECT a, b FROM cand"
+
+
+def _minhash_dedup_oracle(cfg: DedupConfig) -> str:
+    """cand -> est-Jaccard verify (>= threshold of num_perm equal slots) ->
+    connected components (recursive min-label walk) -> (orig_doc_id,
+    cluster_rep = min doc_id of the component; singletons label themselves).
+    """
+    import math
+
+    min_eq = int(math.ceil(cfg.threshold * cfg.num_perm - 1e-12))
+    return f"""WITH RECURSIVE {_minhash_oracle_ctes(cfg)},
+    eq AS (
+      SELECT c.a, c.b, count(*) AS n_eq
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a
+      JOIN sig sb ON sb.doc_id = c.b AND sb.j = sa.j
+      WHERE sa.v = sb.v
+      GROUP BY c.a, c.b
+    ),
+    edges AS (SELECT a, b FROM eq WHERE n_eq >= {min_eq}),
+    sym AS (SELECT a AS u, b AS v FROM edges
+            UNION ALL SELECT b, a FROM edges),
+    walk(node, lbl) AS (
+      SELECT u, u FROM sym
+      UNION
+      SELECT s.v, w.lbl FROM walk w JOIN sym s ON s.u = w.node
+    ),
+    comp AS (SELECT node, min(lbl) AS root FROM walk GROUP BY node)
+    SELECT d.doc_id AS orig_doc_id,
+           coalesce(c.root, d.doc_id) AS cluster_rep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -262,7 +413,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang,
                    count(*) AS n_docs,
                    round(avg(n_chars), 4) AS avg_chars,
-                   sum(len({_WORDS})) AS total_tokens
+                   -- DuckDB sum(int) is HUGEINT; Spark's is BIGINT. The
+                   -- driver's value-hash is typed, so cast (values are
+                   -- identical — r1 verdict confirmed byte-equality).
+                   CAST(sum(len({_WORDS})) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "exact_dup_groups": f"""
@@ -355,4 +509,61 @@ def oracle_sql() -> dict[str, str]:
             FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.label = b.label
             WHERE {cosine} >= 0.4
         """,
+        # Winnowing guarantee (k=20, w=10): the edge set is EXACTLY the
+        # pairs sharing a common substring >= k+w-1 = 29 bytes, i.e. a
+        # common 29-gram (corpus is ASCII: chars == bytes).
+        "substring_edges": """
+            WITH g AS (
+              SELECT DISTINCT doc_id,
+                     unnest([substr(text, i, 29)
+                             for i in generate_series(1, length(text) - 28)])
+                       AS gram
+              FROM documents WHERE length(text) >= 29
+            )
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM g x JOIN g y ON x.gram = y.gram AND x.doc_id < y.doc_id
+        """,
+        "lsh_candidates": _lsh_candidates_oracle(DedupConfig(threshold=0.5)),
+        "minhash_dedup": _minhash_dedup_oracle(DedupConfig(threshold=0.5)),
+        "hll_cardinality": _hll_oracle(p=8),
     }
+
+
+def _hll_oracle(p: int) -> str:
+    """Reference HLL estimate (hyperloglog.py:144-168) in DuckDB: same
+    registers (idx = hv & (m-1), rank = 32-p - bit_length(hv>>p) + 1), same
+    alpha, same corrections. The harmonic sum is a sum of dyadic rationals
+    (exact in double, order-independent) so both engines agree bit-for-bit
+    before the final 4-dp round."""
+    from datasketch_spark.operators.hll import reference_alpha
+
+    m = 1 << p
+    max_rank = 32 - p
+    alpha = reference_alpha(p)
+    big = float(1 << 32)
+    return f"""
+        WITH w AS (SELECT DISTINCT unnest({_DWORDS}) AS word FROM documents),
+        hv AS (SELECT ('0x' || substr(md5(word), 1, 8))::BIGINT AS hv FROM w),
+        reg AS (
+          SELECT hv % {m} AS idx,
+                 max(CASE WHEN (hv // {m}) = 0 THEN {max_rank + 1}
+                     ELSE {max_rank + 1} - length(bin(hv // {m})) END) AS r
+          FROM hv GROUP BY 1
+        ),
+        s AS (SELECT count(*) AS n_present,
+                     sum(power(2.0, -r)) AS s_present FROM reg),
+        est AS (
+          SELECT ({alpha!r}::DOUBLE) * ({float(m * m)!r}::DOUBLE)
+                   / (({m} - n_present)::DOUBLE + s_present) AS e,
+                 ({m} - n_present)::DOUBLE AS v
+          FROM s
+        )
+        SELECT round(CASE
+                 WHEN e <= ({2.5 * m!r}::DOUBLE) AND v > 0
+                   THEN ({float(m)!r}::DOUBLE) * ln(({float(m)!r}::DOUBLE) / v)
+                 WHEN e <= ({big / 30.0!r}::DOUBLE) THEN e
+                 ELSE -({big!r}::DOUBLE) * ln(1.0 - e / ({big!r}::DOUBLE)) END,
+               4) AS hll_estimate,
+               (SELECT count(*) FROM w) AS n_words_exact
+        FROM est
+    """

@@ -49,6 +49,99 @@ def hll_merge_agg(sketch_col: Column | str) -> Column:
     return F.hll_union_agg(sketch_col)
 
 
+# ---------------------------------------------------------------------------
+# Reference-parity estimator (the original HyperLogLog, not HLL++): exact
+# register semantics of ``hyperloglog.py:103-168`` as native expressions —
+# no UDF, two aggregations. This gives users of the reference's
+# ``HyperLogLog`` class a bit-compatible estimate (same registers, same
+# alpha, same small/large-range corrections) for any 32-bit hashfunc
+# expressible as a Column (the reference accepts custom hashfuncs the same
+# way, ``hyperloglog.py:66-98``).
+# ---------------------------------------------------------------------------
+
+
+def reference_alpha(p: int) -> float:
+    """``HyperLogLog._get_alpha`` (``hyperloglog.py:55-64``)."""
+    if not (4 <= p <= 16):
+        raise ValueError(f"p={p} should be in range [4 : 16]")
+    if p == 4:
+        return 0.673
+    if p == 5:
+        return 0.697
+    if p == 6:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / (1 << p))
+
+
+def sha1_hash32_col(col: Column | str) -> Column:
+    """The reference's default token hash ``sha1_hash32``
+    (``hashfunc.py:5-15``): little-endian first 4 bytes of sha1 — hex pairs
+    reversed, then base-16 parsed. Native expressions only."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.sha1(c)
+    swapped = F.concat(
+        F.substring(h, 7, 2),
+        F.substring(h, 5, 2),
+        F.substring(h, 3, 2),
+        F.substring(h, 1, 2),
+    )
+    return F.conv(swapped, 16, 10).cast("long")
+
+
+def md5_hash32_col(col: Column | str) -> Column:
+    """32-bit hash = big-endian first 4 bytes of md5. A reference-compatible
+    custom hashfunc (any 32-bit hash is valid per ``hyperloglog.py:40-43``);
+    used by the correctness oracle because the sandbox DuckDB lacks sha1."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def hll_count_reference(
+    df: DataFrame, value_col: str, p: int = 8, hash32: Column | None = None
+) -> DataFrame:
+    """One-row (``hll_estimate`` double) reference-parity HLL count.
+
+    Register update (``hyperloglog.py:134-142``): idx = hv & (m-1),
+    rank = (32 - p) - bit_length(hv >> p) + 1, register = max rank.
+    Estimate (``hyperloglog.py:144-168``): alpha * m^2 / sum(2^-reg) with
+    linear counting below 2.5m and the 1/30*2^32 large-range correction.
+    Absent registers contribute 2^0 = 1 to the harmonic sum, so one groupBy
+    over PRESENT registers + a scalar aggregate suffices — no m-row join.
+    All harmonic-sum terms are dyadic rationals well inside double mantissa
+    range, so the sum is order-independent (exactly reproducible).
+    """
+    m = 1 << p
+    max_rank = 32 - p
+    alpha = reference_alpha(p)
+    hv = hash32 if hash32 is not None else sha1_hash32_col(value_col)
+    bits = F.shiftrightunsigned(F.col("hv"), p)
+    rank = F.when(bits == 0, F.lit(max_rank + 1)).otherwise(
+        F.lit(max_rank + 1) - F.length(F.bin(bits))
+    )
+    regs = (
+        df.select(hv.alias("hv"))
+        .select(F.col("hv").bitwiseAND(F.lit(m - 1)).alias("idx"), rank.alias("r"))
+        .groupBy("idx")
+        .agg(F.max("r").alias("reg"))
+    )
+    stats = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_present"),
+    )
+    e = F.lit(alpha) * F.lit(float(m * m)) / (
+        (F.lit(m) - F.col("n_present")).cast("double") + F.col("s_present")
+    )
+    v = (F.lit(m) - F.col("n_present")).cast("double")
+    estimate = (
+        F.when(
+            (e <= F.lit(2.5 * m)) & (v > 0), F.lit(float(m)) * F.log(F.lit(float(m)) / v)
+        )
+        .when(e <= F.lit((1 << 32) / 30.0), e)
+        .otherwise(F.lit(-float(1 << 32)) * F.log(F.lit(1.0) - e / F.lit(float(1 << 32))))
+    )
+    return stats.select(estimate.alias("hll_estimate"))
+
+
 def distinct_per_group(
     df: DataFrame, group_cols: list[str], value_col: str, p: int = 14
 ) -> DataFrame:
