@@ -10,6 +10,7 @@ structure used for Jaccard.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -132,7 +133,12 @@ def random_hyperplanes(dim: int, n_bits: int, seed: int = 1) -> np.ndarray:
 
 def simhash_signature_col(vec_col: str, planes: np.ndarray):
     """Cosine-LSH bit signature as a native expression: sign of dot with
-    each hyperplane, packed into a bigint (n_bits <= 63)."""
+    each hyperplane, packed into a bigint (n_bits <= 63).
+
+    Plan-size warning: this inlines n_bits x dim float literals into the
+    expression tree — fine for toy dims, Catalyst-hostile at embedding
+    dims (768 x 16 x n_tables literals). The scale path is
+    ``make_simhash_bands_udf`` (one Arrow matmul)."""
     n_bits = planes.shape[0]
     bit_terms = []
     for i in range(n_bits):
@@ -153,6 +159,32 @@ def simhash_signature_col(vec_col: str, planes: np.ndarray):
     return out.cast("long")
 
 
+def make_simhash_bands_udf(dim: int, n_bits: int, n_tables: int, seed: int = 1):
+    """Pandas UDF ``embedding -> array<bigint>`` of n_tables packed SimHash
+    signatures: ONE (batch x dim) @ (dim x n_tables*n_bits) matmul per Arrow
+    batch against the closure-held plane tensor, then sign-pack. No plan
+    literals, one Python boundary — the same discipline as the MinHash
+    signature UDF."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    # (n_tables*n_bits, dim), table t owns rows [t*n_bits, (t+1)*n_bits).
+    planes = np.vstack(
+        [random_hyperplanes(dim, n_bits, seed + t * 1000) for t in range(n_tables)]
+    )
+    weights = (1 << np.arange(n_bits, dtype=np.int64))  # bit i -> 2^i
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def simhash_bands(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        signs = (V @ planes.T) >= 0  # (n, n_tables*n_bits)
+        packed = signs.reshape(len(V), n_tables, n_bits).astype(np.int64) @ weights
+        return pd.Series(list(packed))  # (n, n_tables) int64
+
+    return simhash_bands
+
+
 def simhash_bucketed_pairs(
     vectors: DataFrame,
     min_sim: float,
@@ -161,40 +193,55 @@ def simhash_bucketed_pairs(
     seed: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine near-dup pairs: candidates collide on at least one
     of n_tables random-hyperplane signatures, then exact-cosine verified.
     The banded structure mirrors MinHash LSH; collision prob per table for
-    angle theta is (1 - theta/pi)^n_bits."""
-    dim = len(vectors.select(vec_col).first()[0])
+    angle theta is (1 - theta/pi)^n_bits.
+
+    ``dim``: embedding dimensionality — pass it to avoid a driver
+    ``.first()`` probe job (the probe remains as a convenience fallback)."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
     sigs = vectors.select(id_col, vec_col)
-    band_cols = []
-    for t in range(n_tables):
-        planes = random_hyperplanes(dim, n_bits, seed + t * 1000)
-        band_cols.append(
-            F.struct(
-                F.lit(t).alias("band_idx"),
-                simhash_signature_col(vec_col, planes).alias("band_hash"),
-            )
-        )
+    udf = make_simhash_bands_udf(dim, n_bits, n_tables, seed)
+    # Same shape as lsh.candidate_pairs: ONE UDF evaluation (a self-join on
+    # the bands would re-run the ArrowEval per side), one shuffle groupBy on
+    # the bucket, native nested-transform pair expansion.
     bands = sigs.select(
-        id_col, vec_col, F.explode(F.array(*band_cols)).alias("bh")
-    ).select(id_col, vec_col, "bh.band_idx", "bh.band_hash")
-    left = bands.select(
-        F.col("band_idx"), F.col("band_hash"),
-        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+        F.col(id_col),
+        F.posexplode(udf(F.col(vec_col))).alias("band_idx", "band_hash"),
     )
-    right = bands.select(
-        F.col("band_idx"), F.col("band_hash"),
-        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .where(F.size("ids") >= 2)
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
     cands = (
-        left.join(right, ["band_idx", "band_hash"])
-        .where(F.col("a") < F.col("b"))
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    # Exact-cosine verification: two equi-joins back to the (UDF-free)
+    # vector table; AQE broadcasts the small pair side.
+    v = vectors.select(F.col(id_col).alias("_k"), F.col(vec_col).alias("_v"))
     return (
-        cands.withColumn("sim", F.round(cosine_col("_va", "_vb"), 4))
+        cands.join(v.withColumnRenamed("_v", "_va"), F.col("a") == F.col("_k"))
+        .drop("_k")
+        .join(v.withColumnRenamed("_v", "_vb"), F.col("b") == F.col("_k"))
+        .drop("_k")
+        .withColumn("sim", F.round(cosine_col("_va", "_vb"), 4))
         .where(F.col("sim") >= min_sim)
         .select("a", "b", "sim")
     )

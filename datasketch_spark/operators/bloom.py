@@ -7,12 +7,23 @@ one Bloom filter per band, bucket key derived from the band's hash values
 positives only; zero false negatives).
 
 PySpark has no DataFrame bloomFilter builder, so the filter is a numpy bit
-array built distributed: mapInPandas accumulates one local bitmap per
-input partition (vectorized bit-sets over Arrow batches), the driver ORs
-the <= numPartitions bitmaps, and the merged bitmap broadcasts into the
-membership pandas UDF. At 10^9+ indexed docs the bitmap is sized per
-shard/band and stays under the broadcast limit (1.2MB per 10^6 keys at
-1% fpp).
+array built distributed and SHARDED: each band's filter is split into
+``n_shards`` independent sub-filters; a key routes to exactly one shard by
+a routing hash, and each (band, shard) bitmap is built WHOLE inside one
+``applyInPandas`` task from all of its keys. The driver therefore only ever
+receives fixed-size shard bitmaps (default <= 4 MiB each), never a
+corpus-sized bitmap per input partition — the build is one shuffle on
+(band, shard) and each task's working set is ~n/(b*n_shards) keys plus one
+shard bitmap. (The previous design emitted a FULL-size per-partition bitmap
+from every input partition, which at 10^9 keys meant ~GBs per partition
+landing on the driver.)
+
+The assembled filter (sum of all shards = the classically-sized bitmap) is
+what broadcasts into the membership UDF — that broadcast is inherent to a
+Bloom PRE-filter design and caps practical index size at what an executor
+can hold (~10^8-10^9 keys at 1% fpp); beyond that, use the bands-table
+join path (operators/lsh.py), which has no driver- or broadcast-resident
+state.
 """
 
 from __future__ import annotations
@@ -23,10 +34,19 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType, BooleanType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from datasketch_spark.config import DedupConfig
 from datasketch_spark.operators.lsh import band_hash_array
+
+_ROUTE_SALT = 0xA24BAED4963EE407  # routing hash salt, independent of position salts
+_SHARD_MAX_BITS = 1 << 25  # 4 MiB per shard bitmap
 
 
 def _mix(x: np.ndarray, salt: int) -> np.ndarray:
@@ -40,14 +60,27 @@ def _mix(x: np.ndarray, salt: int) -> np.ndarray:
     return x
 
 
+def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Classic (m_bits, k) sizing for n keys at the target fpp."""
+    n = max(n_items, 64)
+    m_bits = int(max(64, math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    k = max(1, int(round(m_bits / n * math.log(2))))
+    return m_bits, k
+
+
 class NumpyBloom:
     """Standard (m, k) Bloom filter over int64 keys, double-hashing scheme."""
 
     def __init__(self, n_items: int, fpp: float) -> None:
-        n = max(n_items, 64)
-        self.m_bits = int(max(64, math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
-        self.k = max(1, int(round(self.m_bits / n * math.log(2))))
+        self.m_bits, self.k = bloom_params(n_items, fpp)
         self.bits = np.zeros((self.m_bits + 63) // 64, dtype=np.uint64)
+
+    @classmethod
+    def from_bits(cls, m_bits: int, k: int, bits: np.ndarray) -> "NumpyBloom":
+        obj = cls.__new__(cls)
+        obj.m_bits, obj.k = m_bits, k
+        obj.bits = bits
+        return obj
 
     def _positions(self, keys: np.ndarray) -> np.ndarray:
         h1 = _mix(keys, 0x9E3779B97F4A7C15)
@@ -79,10 +112,11 @@ class NumpyBloom:
 
 
 class LSHBloomFilter:
-    """Per-band Bloom filters over an indexed corpus's band hashes.
+    """Per-band, sharded Bloom filters over an indexed corpus's band hashes.
 
-    Build: one distributed pass; each input partition emits its local
-    bitmap (binary row), driver ORs them.
+    Build: one shuffle on (band_idx, shard); each (band, shard) bitmap is
+    assembled entirely inside its executor task, so no task or driver row
+    ever exceeds the shard bitmap size (<= ``_SHARD_MAX_BITS``/8 bytes).
     """
 
     def __init__(
@@ -92,59 +126,98 @@ class LSHBloomFilter:
         expected_per_band: int | None = None,
         fpp: float = 0.01,
         sig_col: str = "sig",
+        n_shards: int | None = None,
     ) -> None:
         self.cfg = cfg
         n = expected_per_band or sig_df.count()
-        proto = NumpyBloom(n, fpp)
-        m_bits, k, b = proto.m_bits, proto.k, cfg.b
+        total_bits, _ = bloom_params(n, fpp)
+        if n_shards is None:
+            n_shards = max(1, math.ceil(total_bits / _SHARD_MAX_BITS))
+        self.n_shards = n_shards
+        # Each shard is an independent filter sized for its expected share
+        # of keys; the routing hash splits uniformly.
+        per_shard = max(1, math.ceil(n / n_shards))
+        self.shard_m_bits, self.shard_k = bloom_params(per_shard, fpp)
+        m_bits, k, b = self.shard_m_bits, self.shard_k, cfg.b
+        n_words = (m_bits + 63) // 64
 
-        bands = sig_df.select(band_hash_array(cfg, sig_col).alias("bh"))
-
-        def _build(batches):
-            blooms = [NumpyBloom(n, fpp) for _ in range(b)]
-            seen = False
-            for pdf in batches:
-                seen = True
-                arr = np.array(pdf["bh"].tolist(), dtype=np.int64)  # (rows, b)
-                if arr.size:
-                    for i in range(b):
-                        blooms[i].add_batch(arr[:, i].astype(np.uint64))
-            if seen:
-                yield pd.DataFrame(
-                    {"bitmaps": [np.concatenate([bl.bits for bl in blooms]).tobytes()]}
+        bands = (
+            sig_df.select(
+                F.posexplode(band_hash_array(cfg, sig_col)).alias(
+                    "band_idx", "band_hash"
                 )
+            )
+            .withColumn(
+                "shard",
+                F.pmod(F.xxhash64(F.lit(_ROUTE_SALT & 0x7FFFFFFF), "band_hash"), F.lit(n_shards)),
+            )
+        )
 
-        schema = StructType([StructField("bitmaps", BinaryType(), False)])
-        partials = bands.mapInPandas(_build, schema=schema).collect()
-        self.filters = [NumpyBloom(n, fpp) for _ in range(b)]
-        words = len(proto.bits)
-        for row in partials:
-            merged = np.frombuffer(row["bitmaps"], dtype=np.uint64)
-            for i in range(b):
-                self.filters[i].merge_bits(merged[i * words : (i + 1) * words])
+        def _build_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            band_idx, shard = int(key[0]), int(key[1])
+            bl = NumpyBloom.from_bits(
+                m_bits, k, np.zeros(n_words, dtype=np.uint64)
+            )
+            bl.add_batch(pdf["band_hash"].to_numpy(dtype=np.int64).astype(np.uint64))
+            return pd.DataFrame(
+                {"band_idx": [band_idx], "shard": [shard], "bits": [bl.bits.tobytes()]}
+            )
 
-    def might_contain_udf(self):
-        """Pandas UDF over the band-hash array column: True if ANY band's
-        bucket hash hits that band's filter (reference ``lsh_bloom.py:
-        355-372``: any band collision -> candidate)."""
-        filters = self.filters
-
-        @F.pandas_udf(BooleanType())
-        def might_contain(band_hashes: pd.Series) -> pd.Series:
-            arr = np.array(band_hashes.tolist(), dtype=np.int64)
-            if arr.size == 0:
-                return pd.Series(np.zeros(len(band_hashes), dtype=bool))
-            hit = np.zeros(len(arr), dtype=bool)
-            for i, bl in enumerate(filters):
-                hit |= bl.contains_batch(arr[:, i].astype(np.uint64))
-            return pd.Series(hit)
-
-        return might_contain
+        schema = StructType(
+            [
+                StructField("band_idx", IntegerType(), False),
+                StructField("shard", IntegerType(), False),
+                StructField("bits", BinaryType(), False),
+            ]
+        )
+        rows = (
+            bands.groupBy("band_idx", "shard")
+            .applyInPandas(_build_shard, schema=schema)
+            .collect()
+        )
+        # (b, n_shards) grid; shards never touched stay empty (all-miss).
+        self.filters: list[list[NumpyBloom]] = [
+            [
+                NumpyBloom.from_bits(m_bits, k, np.zeros(n_words, dtype=np.uint64))
+                for _ in range(n_shards)
+            ]
+            for _ in range(b)
+        ]
+        for row in rows:
+            self.filters[row["band_idx"]][row["shard"]] = NumpyBloom.from_bits(
+                m_bits, k, np.frombuffer(row["bits"], dtype=np.uint64).copy()
+            )
 
     def mark_candidates(
         self, sig_df: DataFrame, sig_col: str = "sig", out_col: str = "maybe_dup"
     ) -> DataFrame:
         """Boolean column: likely-duplicate-of-index (false positives at the
-        configured fpp; no false negatives)."""
-        udf = self.might_contain_udf()
-        return sig_df.withColumn(out_col, udf(band_hash_array(self.cfg, sig_col)))
+        configured fpp; no false negatives).
+
+        Routing shards are computed with the same native xxhash64 expression
+        used at build time; the UDF then tests each (band, shard) filter.
+        """
+        filters = self.filters
+        n_shards = self.n_shards
+        b = self.cfg.b
+
+        @F.pandas_udf(BooleanType())
+        def might_contain(band_hashes: pd.Series, shards: pd.Series) -> pd.Series:
+            arr = np.array(band_hashes.tolist(), dtype=np.int64)
+            if arr.size == 0:
+                return pd.Series(np.zeros(len(band_hashes), dtype=bool))
+            sh = np.array(shards.tolist(), dtype=np.int64)  # (rows, b)
+            hit = np.zeros(len(arr), dtype=bool)
+            for i in range(b):
+                keys = arr[:, i].astype(np.uint64)
+                row_shards = sh[:, i]
+                for s in np.unique(row_shards):
+                    mask = row_shards == s
+                    hit[mask] |= filters[i][int(s)].contains_batch(keys[mask])
+            return pd.Series(hit)
+
+        bh = band_hash_array(self.cfg, sig_col)
+        shard_arr = F.transform(
+            bh, lambda h: F.pmod(F.xxhash64(F.lit(_ROUTE_SALT & 0x7FFFFFFF), h), F.lit(n_shards))
+        )
+        return sig_df.withColumn(out_col, might_contain(bh, shard_arr))

@@ -61,6 +61,33 @@ def test_parquet_pushdown_and_pruning(spark, tmp_path):
     assert schemas and all("n_chars" not in s for s in schemas), schemas
 
 
+def test_simhash_real_dim_single_python_boundary(spark):
+    # r1 scale hazard: the expression-based SimHash inlined n_bits x dim
+    # literals (dim 768 x 16 bits x 4 tables ~ 49k plan nodes). The UDF path
+    # must carry exactly ONE Python boundary and an O(1)-size plan at real
+    # embedding dims.
+    import numpy as np
+
+    from datasketch_spark.operators.ann import simhash_bucketed_pairs
+
+    rng = np.random.RandomState(0)
+    dim = 768
+    base = rng.normal(size=(6, dim))
+    rows = []
+    for i in range(6):
+        rows.append((2 * i, (base[i] / np.linalg.norm(base[i])).tolist()))
+        near = base[i] + rng.normal(scale=1e-4, size=dim)
+        rows.append((2 * i + 1, (near / np.linalg.norm(near)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = simhash_bucketed_pairs(
+        df, min_sim=0.999, n_bits=16, n_tables=4, dim=dim
+    )
+    assert python_eval_count(pairs) == 1
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # Every planted near-identical pair collides in some table and verifies.
+    assert {(2 * i, 2 * i + 1) for i in range(6)} <= got
+
+
 def test_verify_stage_stays_jvm_side(spark):
     df = spark.createDataFrame(
         [(i, f"text number {i} " * 10) for i in range(10)], ["doc_id", "text"]
