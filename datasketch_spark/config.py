@@ -77,7 +77,8 @@ class DedupConfig:
     seed: int = 1
     threshold: float = 0.8
     shingle_k: int = 5
-    hash_mode: str = "fast"  # "fast" (splitmix64) | "parity" (sha1_hash32)
+    # "fast" (splitmix64) | "parity" (sha1_hash32) | "parity64" (sha1_hash64)
+    hash_mode: str = "fast"
     false_positive_weight: float = 0.5
     false_negative_weight: float = 0.5
     # Explicit (b, r) overrides the optimizer (reference `params=` kwarg,

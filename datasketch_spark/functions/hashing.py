@@ -51,6 +51,24 @@ def sha1_hash32(data: bytes) -> int:
     return struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
 
 
+def sha1_hash64(data: bytes) -> int:
+    """Reference-parity 64-bit token hash (``hashfunc.py:18-28``):
+    little-endian first 8 bytes of sha1. The reference uses it for
+    HyperLogLog++ and as an optional MinHash hashfunc."""
+    return struct.unpack("<Q", hashlib.sha1(data).digest()[:8])[0]
+
+
+def sha1_hash64_batch(tokens) -> np.ndarray:
+    """Batch form of ``sha1_hash64`` (uint64)."""
+    unpack = struct.unpack
+    sha1 = hashlib.sha1
+    return np.fromiter(
+        (unpack("<Q", sha1(t).digest()[:8])[0] for t in tokens),
+        dtype=np.uint64,
+        count=len(tokens) if hasattr(tokens, "__len__") else -1,
+    )
+
+
 def sha1_hash32_batch(tokens) -> np.ndarray:
     """Hash an iterable of byte tokens to uint64 (values < 2^32).
 

@@ -109,13 +109,14 @@ def merge_col(sig1: Column | str, sig2: Column | str) -> Column:
 
 
 def count_col(sig: Column | str, num_perm: int = 128) -> Column:
-    """Cardinality estimate ``k / sum(hv / 2^32) - 1``
-    (reference ``MinHash.count``, ``minhash.py:326-335``)."""
+    """Cardinality estimate ``k / sum(hv / (2^32 - 1)) - 1``
+    (reference ``MinHash.count``, ``minhash.py:326-335``: the divisor is
+    ``float(_max_hash)`` = 2^32 - 1, NOT the hash range 2^32)."""
     s = F.col(sig) if isinstance(sig, str) else sig
     total = F.aggregate(
         s,
         F.lit(0.0),
-        lambda acc, v: acc + v.cast("double") / F.lit(float(int(MAX_HASH) + 1)),
+        lambda acc, v: acc + v.cast("double") / F.lit(float(int(MAX_HASH))),
     )
     return F.lit(float(num_perm)) / total - F.lit(1.0)
 
@@ -157,7 +158,15 @@ def bbit_jaccard_col(
 
 
 def _bbit_C(r: float, b: int) -> float:
-    """A(r,b) = r(1-r)^(2^b - 1) / (1 - (1-r)^(2^b)) ; C = A1+A2 sym case."""
+    """A(r,b) = r(1-r)^(2^b - 1) / (1 - (1-r)^(2^b)) ; C = A1+A2 sym case.
+
+    INTENTIONAL DIVERGENCE for r > 0: this follows the published Li &
+    Koenig 2010 formula with exponent 2^b; the reference's ``_calc_a``
+    (``b_bit_minhash.py:127-145``) uses ``2*b`` in the same position, which
+    deviates from the paper it cites (a typo: at r -> 0 both reduce to the
+    paper's C = 2^-b limit only via the 2^b form). Estimates therefore
+    differ from the reference for r > 0 and b != 2; pass r=0 (the default
+    large-universe case) for exact behavioral agreement."""
     if r <= 0.0:
         return 2.0 ** (-b)
     two_b = 2.0**b

@@ -19,6 +19,7 @@ import numpy as np
 from datasketch_spark.functions.hashing import (
     fast_hash32_batch,
     sha1_hash32_batch,
+    sha1_hash64_batch,
 )
 
 
@@ -38,6 +39,13 @@ def byte_shingles(text: str, k: int) -> list[bytes]:
 def shingle_hashes_sha1(text: str, k: int) -> np.ndarray:
     """Distinct sha1_hash32 values of the k-byte shingles (uint64)."""
     return np.unique(sha1_hash32_batch(byte_shingles(text, k)))
+
+
+def shingle_hashes_sha1_64(text: str, k: int) -> np.ndarray:
+    """Distinct sha1_hash64 values of the k-byte shingles (uint64) —
+    parity with the reference's optional 64-bit hashfunc
+    (``hashfunc.py:18-28``)."""
+    return np.unique(sha1_hash64_batch(byte_shingles(text, k)))
 
 
 def _pack_windows_u64(data: np.ndarray, k: int) -> np.ndarray:
@@ -173,13 +181,14 @@ def batch_shingle_hashes(
     """
     if mode == "fast":
         return _batch_fast(texts, k)
+    per_text = shingle_hashes_sha1_64 if mode == "parity64" else shingle_hashes_sha1
     chunks: list[np.ndarray] = []
     offsets = np.zeros(len(texts) + 1, dtype=np.int64)
     for i, t in enumerate(texts):
         if t is None:
             offsets[i + 1] = offsets[i]
             continue
-        h = shingle_hashes_sha1(t, k)
+        h = per_text(t, k)
         chunks.append(h)
         offsets[i + 1] = offsets[i] + len(h)
     hv = (

@@ -84,12 +84,23 @@ def connected_components(
 
     cur = checkpoint(_canon(edges))
     prev_fp = None
+    converged = False
     for _ in range(max_iterations):
         cur = checkpoint(_canon(_small_star(_large_star(cur))))
         fp = _edge_fingerprint(cur)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        # The star-forest extraction below ASSUMES a fixpoint; returning
+        # anyway would silently mislabel clusters. O(log n) rounds suffice
+        # in theory, so hitting the cap means the cap is too low (or the
+        # fingerprint check is broken) — fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"max_iterations={max_iterations}; raise the cap"
+        )
     # Converged state is a star forest: every edge is (member, root).
     labels = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = cur.select(F.col("v").alias("node")).distinct().withColumn(

@@ -49,16 +49,24 @@ class MinHashLSHIndex:
         )
 
     def insert(self, new_sigs: DataFrame) -> "MinHashLSHIndex":
-        """Append new keys (reference errors on duplicate keys,
-        lsh.py:342-343 — here later writes win via dropDuplicates)."""
-        sigs = (
-            self.signatures.unionByName(new_sigs.select(self.key_col, "sig"))
-            .dropDuplicates([self.key_col])
+        """Upsert new keys: LATER WRITES WIN, deterministically — existing
+        rows for incoming keys are anti-joined away from BOTH tables before
+        the union, so a key's signature row and its band rows always come
+        from the same insert (the r1 dropDuplicates kept an arbitrary row,
+        which could mix band rows across inserts). The reference instead
+        errors on duplicate keys (lsh.py:342-343); on a lakehouse this
+        transform is exactly an Iceberg MERGE ... WHEN MATCHED REPLACE.
+
+        Precondition: ``new_sigs`` has unique keys within the batch (the
+        same contract as the reference's insertion_session)."""
+        incoming = new_sigs.select(self.key_col, "sig")
+        keys = incoming.select(self.key_col)
+        sigs = self.signatures.join(keys, self.key_col, "left_anti").unionByName(
+            incoming
         )
         new_bands = lsh.bands_table(new_sigs, self.cfg, key_col=self.key_col)
-        bands = (
-            self.bands.unionByName(new_bands)
-            .dropDuplicates([self.key_col, "band_idx"])
+        bands = self.bands.join(keys, self.key_col, "left_anti").unionByName(
+            new_bands
         )
         return MinHashLSHIndex(self.cfg, sigs, bands, self.key_col)
 
@@ -88,14 +96,15 @@ class MinHashLSHIndex:
             ).count()
             if overlap:
                 raise ValueError(f"Cannot merge: {overlap} overlapping keys")
+        # Without check_overlap, overlapping keys COEXIST — exactly the
+        # reference's merged-hashtable behavior (lsh.py:349-368): both
+        # sides' band rows stay queryable; query-side collect_set dedups
+        # candidates. (The r1 dropDuplicates picked an arbitrary winner,
+        # which could pair one side's signature with the other's bands.)
         return MinHashLSHIndex(
             self.cfg,
-            self.signatures.unionByName(other.signatures).dropDuplicates(
-                [self.key_col]
-            ),
-            self.bands.unionByName(other.bands).dropDuplicates(
-                [self.key_col, "band_idx"]
-            ),
+            self.signatures.unionByName(other.signatures),
+            self.bands.unionByName(other.bands),
             self.key_col,
         )
 

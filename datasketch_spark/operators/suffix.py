@@ -107,11 +107,27 @@ def fingerprints_table(
     return exploded
 
 
+def dropped_fingerprints(fps: DataFrame, bucket_cap: int = 200) -> DataFrame:
+    """Fingerprint buckets excluded by the cap — (fp, n_members), the
+    skew/coverage diagnostic mirroring ``lsh.dropped_buckets``. A non-empty
+    result means boilerplate-heavy fingerprints were skipped and some
+    exact-substring edges >= k+w-1 may be missing; raise ``bucket_cap`` or
+    strip the boilerplate upstream."""
+    return (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > bucket_cap)
+    )
+
+
 def substring_candidates(
     fps: DataFrame, bucket_cap: int = 200
 ) -> DataFrame:
     """(a, b, pos_a, pos_b): doc pairs sharing a winnowed fingerprint, with
-    one alignment per (pair, fingerprint bucket). Bucket-capped."""
+    one alignment per (pair, fingerprint bucket). Bucket-capped; audit what
+    the cap skipped with ``dropped_fingerprints`` (never silent-by-design:
+    callers of ``substring_dedup_edges`` get it in the returned dict of the
+    pipeline or can evaluate it directly)."""
     grouped = (
         fps.groupBy("fp")
         .agg(F.collect_list(F.struct("doc_id", "pos")).alias("members"))
@@ -165,24 +181,40 @@ def verify_substring_pairs(
         ]
     )
 
+    def _common_prefix_len(xa: np.ndarray, xb: np.ndarray) -> int:
+        # Vectorized equality-prefix scan (the per-byte Python loop made
+        # verify O(total matched bytes) in Python on duplicate-heavy
+        # corpora).
+        n = min(len(xa), len(xb))
+        if n == 0:
+            return 0
+        neq = xa[:n] != xb[:n]
+        i = int(np.argmax(neq))
+        return n if not neq[i] else i
+
     def _verify(batches):
         for pdf in batches:
             rows = []
+            cache: dict[int, np.ndarray] = {}
+
+            def as_bytes(text):
+                key = id(text)
+                got = cache.get(key)
+                if got is None:
+                    got = np.frombuffer(
+                        (text or "").encode("utf-8", "surrogatepass"), dtype=np.uint8
+                    )
+                    cache[key] = got
+                return got
+
             for a, b, pa, pb, ta, tb in zip(
                 pdf["a"], pdf["b"], pdf["pos_a"], pdf["pos_b"], pdf["_ta"], pdf["_tb"]
             ):
-                ba = (ta or "").encode("utf-8", "surrogatepass")
-                bb = (tb or "").encode("utf-8", "surrogatepass")
+                ba, bb = as_bytes(ta), as_bytes(tb)
                 pa, pb = int(pa), int(pb)
-                # extend right
-                r = 0
-                while pa + r < len(ba) and pb + r < len(bb) and ba[pa + r] == bb[pb + r]:
-                    r += 1
-                # extend left
-                left = 0
-                while pa - left - 1 >= 0 and pb - left - 1 >= 0 and ba[pa - left - 1] == bb[pb - left - 1]:
-                    left += 1
-                total = left + r
+                right = _common_prefix_len(ba[pa:], bb[pb:])
+                left = _common_prefix_len(ba[:pa][::-1], bb[:pb][::-1])
+                total = left + right
                 if total >= min_len:
                     rows.append((min(int(a), int(b)), max(int(a), int(b)), total))
             yield pd.DataFrame(rows, columns=["a", "b", "match_len"])
@@ -203,7 +235,12 @@ def substring_dedup_edges(
     text_col: str = "text",
 ) -> DataFrame:
     """Full pass: docs -> (a, b, match_len) edges with an exact common
-    substring of length >= k + w - 1 (the winnowing guarantee bound)."""
+    substring of length >= k + w - 1 (the winnowing guarantee bound).
+
+    The guarantee holds for every pair whose shared fingerprint bucket is
+    within ``bucket_cap``; larger buckets are skipped (boilerplate) — audit
+    them with ``dropped_fingerprints(fingerprints_table(...), bucket_cap)``.
+    """
     fps = fingerprints_table(docs, k, w, key_col, text_col)
     cands = substring_candidates(fps, bucket_cap)
     return verify_substring_pairs(cands, docs, min_len=k + w - 1, key_col=key_col, text_col=text_col)

@@ -10,6 +10,7 @@ exercised here).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -25,7 +26,10 @@ class CheckpointManager:
     ``_metrics.json`` sidecar (rows, partitions, elapsed, config digest).
 
     ``resume=True``: if a stage directory exists with a complete metrics
-    sidecar, the stage is read back instead of recomputed — mid-run resume.
+    sidecar AND the sidecar's config digest matches the current
+    ``run_config``, the stage is read back instead of recomputed — mid-run
+    resume. A digest mismatch (e.g. threshold/num_perm/shingle_k changed
+    between runs) recomputes the stage instead of serving stale data.
     """
 
     root: str
@@ -40,8 +44,23 @@ class CheckpointManager:
     def _metrics_path(self, stage: str) -> str:
         return os.path.join(self.root, f"{stage}._metrics.json")
 
+    def config_digest(self) -> str:
+        return hashlib.sha256(
+            json.dumps(self.run_config, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
     def has(self, stage: str) -> bool:
-        return os.path.exists(self._metrics_path(stage))
+        """A stage is resumable only if its sidecar exists AND was written
+        under the same run_config (digest check)."""
+        path = self._metrics_path(stage)
+        if not os.path.exists(path):
+            return False
+        try:
+            with open(path) as fh:
+                recorded = json.load(fh).get("config_digest")
+        except (OSError, json.JSONDecodeError):
+            return False
+        return recorded == self.config_digest()
 
     def load(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.format(self.format).load(self._path(stage))
@@ -83,6 +102,7 @@ class CheckpointManager:
             "elapsed_sec": round(time.time() - t0, 3),
             "format": self.format,
             "config": self.run_config,
+            "config_digest": self.config_digest(),
             "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         }
         with open(self._metrics_path(stage), "w") as fh:

@@ -38,3 +38,15 @@ def test_attach_cluster_ids_singletons(spark):
         for r in attach_cluster_ids(docs, labels).collect()
     }
     assert got == {1: 1, 2: 1, 3: 3, 99: 99}
+
+
+def test_non_convergence_raises(spark):
+    # A long path cannot reach the star-forest fixpoint in 1 round; the
+    # guard must raise rather than silently extract wrong labels.
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["u", "v"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=1)

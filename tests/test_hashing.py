@@ -154,3 +154,32 @@ def test_dedup_config_defaults():
     assert (cfg.b, cfg.r) == (9, 13)
     cfg2 = DedupConfig(params=(16, 8))
     assert (cfg2.b, cfg2.r) == (16, 8)
+
+
+def test_sha1_hash64_golden():
+    # Independent golden values: little-endian first 8 bytes of sha1
+    # (reference hashfunc.py:18-28 semantics), recomputed via hashlib here.
+    import hashlib
+    import struct
+
+    from datasketch_spark.functions.hashing import sha1_hash64, sha1_hash64_batch
+
+    for token in [b"Hello", b"", b"minhash", bytes(range(256))]:
+        want = struct.unpack("<Q", hashlib.sha1(token).digest()[:8])[0]
+        assert sha1_hash64(token) == want
+    batch = sha1_hash64_batch([b"Hello", b"minhash"])
+    assert batch.tolist() == [sha1_hash64(b"Hello"), sha1_hash64(b"minhash")]
+    assert batch.dtype == np.uint64
+
+
+def test_parity64_shingle_mode():
+    from datasketch_spark.functions.shingles import (
+        batch_shingle_hashes,
+        shingle_hashes_sha1_64,
+    )
+
+    hv, starts, ends = batch_shingle_hashes(["hello world"], 5, "parity64")
+    assert hv[starts[0] : ends[0]].tolist() == shingle_hashes_sha1_64(
+        "hello world", 5
+    ).tolist()
+    assert (hv >= (1 << 32)).any()  # genuinely 64-bit values

@@ -74,6 +74,60 @@ def test_index_lifecycle(spark):
         merged.merge(other, check_overlap=True)
 
 
+def test_index_insert_duplicate_key_later_write_wins(spark):
+    # Defined duplicate-key semantics: re-inserting key 0 with a DIFFERENT
+    # token set must replace BOTH its signature row and all of its band
+    # rows (delete-then-insert) — no mixed state across inserts.
+    toks_v1 = [(0, [f"v1-{j}" for j in range(20)])]
+    toks_v2 = [(0, [f"v2-{j}" for j in range(20)])]
+    idx = MinHashLSHIndex.build(_sigs(spark, toks_v1), CFG)
+    sig_v1 = idx.signatures.collect()[0]["sig"]
+    bands_v1 = {
+        (r["band_idx"], r["band_hash"]) for r in idx.bands.collect()
+    }
+    idx2 = idx.insert(_sigs(spark, toks_v2))
+    assert idx2.signatures.count() == 1
+    sig_v2 = idx2.signatures.collect()[0]["sig"]
+    assert sig_v2 != sig_v1  # the later write won
+    bands_v2 = {
+        (r["band_idx"], r["band_hash"]) for r in idx2.bands.collect()
+    }
+    assert len(bands_v2) == CFG.b
+    assert bands_v2 != bands_v1
+    # Band rows are exactly the bands of the NEW signature: rebuild and
+    # compare.
+    fresh = MinHashLSHIndex.build(_sigs(spark, toks_v2), CFG)
+    assert bands_v2 == {
+        (r["band_idx"], r["band_hash"]) for r in fresh.bands.collect()
+    }
+
+
+def test_checkpoint_resume_rejects_stale_config(spark, tmp_path):
+    # Resume must not serve stage data computed under a different config.
+    from datasketch_spark.sources.io import CheckpointManager
+
+    df = spark.range(5).withColumn("x", F.col("id") * 2)
+    ck1 = CheckpointManager(
+        root=str(tmp_path / "ck"), run_config={"threshold": 0.8}
+    )
+    ck1.materialize(df, "stage1")
+    assert ck1.has("stage1")
+    # Same config -> resumable; changed config -> recompute.
+    ck_same = CheckpointManager(
+        root=str(tmp_path / "ck"), run_config={"threshold": 0.8}
+    )
+    assert ck_same.has("stage1")
+    ck_changed = CheckpointManager(
+        root=str(tmp_path / "ck"), run_config={"threshold": 0.5}
+    )
+    assert not ck_changed.has("stage1")
+    # materialize under the new config overwrites and re-stamps.
+    ck_changed.materialize(df.where("id < 3"), "stage1")
+    assert ck_changed.has("stage1")
+    assert ck_changed.load(spark, "stage1").count() == 3
+    assert not ck_same.has("stage1")
+
+
 def test_exact_dedup_stream(spark, tmp_path):
     src = tmp_path / "in"
     out_table = f"dedup_out_{int(time.time())}"
