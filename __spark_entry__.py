@@ -246,6 +246,22 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Partitioned HNSW ANN (reference hnsw.py; rows-only check — the graph
+    # search is approximate, hence genuinely non-SQL-expressible; recall vs
+    # brute force is asserted in tests/test_hnsw.py).
+    from datasketch_spark.operators.hnsw import hnsw_topk
+
+    emb = _emb(spark, sf_dir)
+    return hnsw_topk(
+        emb,
+        emb.where("vec_id < 20"),
+        k=5,
+        distance="cosine",
+        n_partitions=4,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full near-dup pipeline over sf0.001 documents."""
     return q_minhash_dedup(spark, "/root/testdata/sf0.001")
@@ -267,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_edges": q_substring_edges,
         "substring_match_len": q_substring_match_len,
         "hll_cardinality": q_hll_cardinality,
+        "hnsw_topk": q_hnsw_topk,
     }
 
 
