@@ -128,28 +128,39 @@ def _blocked_jaccard_pairs(
 
 
 def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Blocked by (lang, source): the all-pairs comparison is quadratic, so
-    # restrict to within-block pairs — the blocking pattern any 100TB-scale
-    # pair comparison needs (the unblocked path is the LSH pipeline).
+    # Prefix-filtered exact self-join (see q_ngram_jaccard_pairs), blocked
+    # by (lang, source). Output-identical to the blocked all-pairs form
+    # (verified at sf0.1), modestly faster here, and scale-safe.
+    from datasketch_spark.operators.setjoin import prefix_filtered_jaccard_pairs
+
     d = _docs(spark, sf_dir).select(
         "doc_id", "lang", "source", distinct_words_col("text").alias("words")
     )
-    return _blocked_jaccard_pairs(d, "words", 0.5)
+    return prefix_filtered_jaccard_pairs(
+        d, "words", 0.5, block_cols=["lang", "source"]
+    )
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NOTE: a size-ratio prefilter (J >= t implies gram counts within a t
-    # ratio) was measured here and REMOVED: on this corpus sizes are too
-    # uniform to prune pairs, and the extra join-side condition cost 50%
-    # (Catalyst evaluates referenced array exprs inside the join). The
-    # quadratic control is the (lang, source) blocking.
+    # PPJoin-style prefix-filtered exact self-join (operators/setjoin.py):
+    # candidates share a token in their size-derived prefixes under a
+    # global order, so generation is an inverted-index bucket expansion,
+    # never a quadratic block join — verified output-identical to the
+    # blocked all-pairs form and ~2x faster at sf0.1 (10.2s vs 19.8s warm,
+    # same session). A plain size-ratio prefilter was measured in r1 and
+    # REMOVED (cost 50% on this corpus); prefix filtering prunes where it
+    # didn't. (lang, source) blocking stays as a conjunctive condition.
+    from datasketch_spark.operators.setjoin import prefix_filtered_jaccard_pairs
+
     d = _docs(spark, sf_dir).select(
         "doc_id",
         "lang",
         "source",
         F.array_distinct(char_ngrams_col(F.col("text"), 3)).alias("grams"),
     )
-    return _blocked_jaccard_pairs(d, "grams", 0.6)
+    return prefix_filtered_jaccard_pairs(
+        d, "grams", 0.6, block_cols=["lang", "source"]
+    )
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

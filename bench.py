@@ -57,6 +57,7 @@ def run_queries() -> None:
         "langid",
         "doc_stats",
         "hll_cardinality",
+        "hnsw_topk",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {}
