@@ -109,6 +109,11 @@ def hll_count_reference(
     over PRESENT registers + a scalar aggregate suffices — no m-row join.
     All harmonic-sum terms are dyadic rationals well inside double mantissa
     range, so the sum is order-independent (exactly reproducible).
+
+    One guarded divergence: when e <= 2.5m with ZERO empty registers the
+    reference's linear counting evaluates m*ln(m/0) = inf
+    (``hyperloglog.py:161-163``); here that branch falls through to the raw
+    estimate instead. Unreachable for sanely-sized p.
     """
     m = 1 << p
     max_rank = 32 - p
