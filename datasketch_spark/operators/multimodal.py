@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 
-The decode kernels themselves need codec libraries that are NOT in this
-environment, so each kernel has two modes:
-  - ``deterministic_fake`` (default in tests): a seeded, shape-correct
-    stand-in so the Spark-side plumbing — schema, batching, partitioning,
-    UDF signatures — is real and testable.
-  - real mode: raises NotImplementedError with the dependency named.
+Decode support is tiered by what this environment can actually do:
+  - REAL decoders with zero external codecs: uncompressed BMP images
+    (pure-numpy header parse + pixel view) and PCM WAV audio (stdlib
+    ``wave``), feeding real feature kernels (block-mean image grid /
+    RMS + zero-crossings + spectral shape for audio).
+  - Compressed formats (JPEG/PNG/MP3/MP4) need codec libraries NOT in
+    this environment: those raise NotImplementedError naming the
+    dependency, and the seeded ``deterministic_fake`` stand-in keeps the
+    Spark-side plumbing — schema, batching, partitioning, UDF
+    signatures — testable end-to-end.
 
 At scale the binary payloads dominate I/O: keep them in their own parquet
 column (never in the shuffle key), process with mapInPandas so each Arrow
@@ -17,6 +21,9 @@ forward.
 from __future__ import annotations
 
 import hashlib
+import io as _io
+import struct
+import wave
 
 import numpy as np
 import pandas as pd
@@ -53,6 +60,113 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# Real decoders (no external codecs needed).
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP -> (H, W, 3) uint8 RGB, pure numpy.
+
+    Parses BITMAPFILEHEADER + BITMAPINFOHEADER; rows are 4-byte padded,
+    bottom-up when height > 0, pixels BGR(A). Raises NotImplementedError
+    for compressed/paletted BMPs and ValueError for non-BMP payloads.
+    """
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={compression}); other image formats need pillow"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)
+    px = raw[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    if bottom_up:
+        px = px[::-1]
+    # BGR(A) -> RGB
+    return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (mono float64 samples in [-1, 1], framerate). Stdlib
+    ``wave`` handles the RIFF framing; 8/16/32-bit integer PCM supported."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("not a WAV payload")
+    with wave.open(_io.BytesIO(payload), "rb") as wf:
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    if width == 1:
+        x = np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(
+            f"{8 * width}-bit WAV not supported; compressed audio needs ffmpeg"
+        )
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def image_grid_feature(rgb: np.ndarray, grid: int = 8) -> np.ndarray:
+    """Real image feature: grayscale block-mean on a grid x grid raster
+    (the aHash-style luminance fingerprint), float32 in [0, 1]."""
+    gray = rgb.astype(np.float32) @ np.array([0.299, 0.587, 0.114], np.float32)
+    h, w = gray.shape
+    ys = (np.arange(grid + 1) * h) // grid
+    xs = (np.arange(grid + 1) * w) // grid
+    out = np.empty((grid, grid), dtype=np.float32)
+    for i in range(grid):
+        for j in range(grid):
+            block = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = float(block.mean())
+    return (out / 255.0).reshape(-1)
+
+
+def audio_feature(samples: np.ndarray, rate: int, n_bins: int = 13) -> np.ndarray:
+    """Real audio feature: [rms, zero-crossing rate, spectral centroid (in
+    normalized frequency)] + n_bins log-spaced FFT magnitude bins, float32."""
+    n = len(samples)
+    if n == 0:
+        return np.zeros(3 + n_bins, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(samples))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    total = spec.sum()
+    centroid = float((freqs * spec).sum() / total / (rate / 2.0)) if total > 0 else 0.0
+    # log-spaced magnitude bins over the positive spectrum
+    edges = np.unique(
+        np.geomspace(1, len(spec), n_bins + 1).astype(np.int64)
+    )
+    bins = np.zeros(n_bins, dtype=np.float64)
+    for i in range(min(n_bins, len(edges) - 1)):
+        seg = spec[edges[i] : edges[i + 1]]
+        bins[i] = seg.mean() if len(seg) else 0.0
+    denom = bins.max() or 1.0
+    return np.concatenate(
+        [[rms, zcr, centroid], bins / denom]
+    ).astype(np.float32)
+
+
 def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     """Deterministic stand-in feature: seeded by content digest."""
     digest = hashlib.sha256(payload or b"").digest()
@@ -73,8 +187,9 @@ def extract_features(
     """
     if not deterministic_fake:
         raise NotImplementedError(
-            "real decode requires pillow/ffmpeg/torchvision — not installed "
-            "in this environment; use deterministic_fake=True"
+            "generic decode of compressed formats requires pillow/ffmpeg — "
+            "not installed here; use image_features (real BMP) / "
+            "audio_features (real WAV) or deterministic_fake=True"
         )
 
     def _extract(batches):
@@ -93,6 +208,70 @@ def extract_features(
     return (
         media.select("media_id", "payload")
         .mapInPandas(_extract, schema=FEATURES_SCHEMA)
+    )
+
+
+REAL_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(FloatType()), True),
+        StructField("status", StringType(), False),  # ok | <error class/reason>
+    ]
+)
+
+
+def image_features(media: DataFrame, grid: int = 8) -> DataFrame:
+    """REAL image feature extraction for uncompressed BMP payloads:
+    (media_id, feature[grid*grid] luminance block-means, status).
+
+    Undecodable payloads yield a null feature + status naming the reason —
+    a 100TB run must quarantine bad rows, not die on them. Compressed
+    formats report 'NotImplementedError: ... pillow'."""
+
+    def _extract(batches):
+        for pdf in batches:
+            ids, feats, status = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    feats.append(image_grid_feature(decode_bmp(p), grid).tolist())
+                    status.append("ok")
+                except (ValueError, NotImplementedError, struct.error) as e:
+                    feats.append(None)
+                    status.append(f"{type(e).__name__}: {e}"[:120])
+            yield pd.DataFrame(
+                {"media_id": ids, "feature": feats, "status": status}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _extract, schema=REAL_FEATURES_SCHEMA
+    )
+
+
+def audio_features(media: DataFrame, n_bins: int = 13) -> DataFrame:
+    """REAL audio feature extraction for PCM WAV payloads:
+    (media_id, feature[3 + n_bins], status) — rms, zero-crossing rate,
+    spectral centroid, log-spaced magnitude bins. Same quarantine
+    semantics as image_features."""
+
+    def _extract(batches):
+        for pdf in batches:
+            ids, feats, status = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                try:
+                    samples, rate = decode_wav(p)
+                    feats.append(audio_feature(samples, rate, n_bins).tolist())
+                    status.append("ok")
+                except (ValueError, NotImplementedError, wave.Error, EOFError) as e:
+                    feats.append(None)
+                    status.append(f"{type(e).__name__}: {e}"[:120])
+            yield pd.DataFrame(
+                {"media_id": ids, "feature": feats, "status": status}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _extract, schema=REAL_FEATURES_SCHEMA
     )
 
 

@@ -111,7 +111,14 @@ class CheckpointManager:
 
 
 class NoopCheckpoints(CheckpointManager):
-    """In-memory runs (tests): localCheckpoint only, nothing written."""
+    """In-memory runs (tests/queries): lazy localCheckpoint, nothing
+    written. eager=False measured ~0.5s faster per sf0.1 pipeline run than
+    eager (no serialized materialization jobs; the checkpoint still
+    guarantees single evaluation of reused stages like signatures once the
+    first action touches them)."""
 
     def __init__(self) -> None:
         super().__init__(root="", enabled=False)
+
+    def materialize(self, df, stage, partition_by=None):
+        return df.localCheckpoint(eager=False)
