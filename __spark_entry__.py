@@ -257,6 +257,37 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_query_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's MinHashLSH.query as a batched join (lsh.py:370-432):
+    # word-set MinHash index over all docs, probed with every 17th doc.
+    # Token hash = md5-based 32-bit (same as the HLL oracle hash) so the
+    # whole path — token hash, 128 permutations, banding, bucket join,
+    # per-query candidate union — has an exact DuckDB twin.
+    from datasketch_spark.functions.minhash import make_signature_from_tokens_udf
+    from datasketch_spark.operators.lsh import bands_table, lsh_query
+
+    docs = _docs(spark, sf_dir)
+    tok = F.transform(
+        distinct_words_col("text"),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    udf = make_signature_from_tokens_udf(128, 1)
+    sigs = docs.select("doc_id", udf(tok).alias("sig"))
+    cfg = DedupConfig(threshold=0.5)
+    index_bands = bands_table(sigs, cfg)
+    q_sigs = sigs.where(F.col("doc_id") % 17 == 0).withColumnRenamed(
+        "doc_id", "query_id"
+    )
+    query_bands = bands_table(q_sigs, cfg, key_col="query_id")
+    res = lsh_query(index_bands, query_bands)
+    return res.select(
+        "query_id",
+        F.array_join(
+            F.transform("candidates", lambda x: x.cast("string")), ","
+        ).alias("candidates_csv"),
+    )
+
+
 def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partitioned HNSW ANN (reference hnsw.py; rows-only check — the graph
     # search is approximate, hence genuinely non-SQL-expressible; recall vs
@@ -295,6 +326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_match_len": q_substring_match_len,
         "hll_cardinality": q_hll_cardinality,
         "hnsw_topk": q_hnsw_topk,
+        "lsh_query_words": q_lsh_query_words,
     }
 
 
@@ -336,17 +368,9 @@ def _sql_mulmod64(x: str, c: int) -> str:
     )
 
 
-def _minhash_oracle_ctes(cfg: DedupConfig) -> str:
-    """CTE chain (no WITH keyword) ending at ``cand`` (a, b) and ``sig``
-    (doc_id, j, v) — reproduces with_signature + bands_table +
-    candidate_pairs over the ``documents`` view, bit-for-bit."""
-    from datasketch_spark.functions.hashing import permutations
-
-    k = cfg.shingle_k
-    pa, pb = permutations(cfg.num_perm, cfg.seed)
-    params_vals = ",\n      ".join(
-        f"({j}, {int(pa[j])}, {int(pb[j])})" for j in range(cfg.num_perm)
-    )
+def _shingle_tokh_ctes(k: int) -> str:
+    """CTEs producing ``tokh (doc_id, h)``: the engine's fast-path shingle
+    hashing — pack k bytes big-endian, splitmix64, mask to 32 bits."""
     pack = (
         f"list_sum([ascii(substr(g, i, 1))::HUGEINT << (8 * (length(g) - i)) "
         f"for i in generate_series(1, length(g))])"
@@ -364,7 +388,30 @@ def _minhash_oracle_ctes(cfg: DedupConfig) -> str:
     m3 AS (SELECT doc_id, {_sql_mulmod64("x", _SM_C2)} AS x FROM m2),
     m4 AS (SELECT doc_id, xor(x, x >> 27) AS x FROM m3),
     m5 AS (SELECT doc_id, {_sql_mulmod64("x", _SM_C3)} AS x FROM m4),
-    tokh AS (SELECT DISTINCT doc_id, xor(x, x >> 31) % {_M32} AS h FROM m5),
+    tokh AS (SELECT DISTINCT doc_id, xor(x, x >> 31) % {_M32} AS h FROM m5)"""
+
+
+def _word_md5_tokh_ctes() -> str:
+    """CTEs producing ``tokh (doc_id, h)``: distinct-word tokens hashed
+    with the md5-based 32-bit hash (big-endian first 4 md5 bytes) — the
+    same hash as ``operators.hll.md5_hash32_col``."""
+    return f"""
+    w AS (SELECT doc_id, unnest({_DWORDS}) AS word FROM documents),
+    tokh AS (SELECT DISTINCT doc_id,
+                    ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM w)"""
+
+
+def _sig_band_ctes(cfg: DedupConfig) -> str:
+    """CTEs from ``tokh`` to ``sig (doc_id, j, v)`` and ``band`` — the 128
+    universal-hash permutations (mod-2^64 wrap, Mersenne mod, 32-bit mask)
+    and the r-slot band keys."""
+    from datasketch_spark.functions.hashing import permutations
+
+    pa, pb = permutations(cfg.num_perm, cfg.seed)
+    params_vals = ",\n      ".join(
+        f"({j}, {int(pa[j])}, {int(pb[j])})" for j in range(cfg.num_perm)
+    )
+    return f"""
     params(j, pa, pb) AS (VALUES {params_vals}),
     sig AS (
       SELECT doc_id, j,
@@ -375,7 +422,15 @@ def _minhash_oracle_ctes(cfg: DedupConfig) -> str:
     band AS (
       SELECT doc_id, (j // {cfg.r}) AS band_idx, list(v ORDER BY j) AS bkey
       FROM sig WHERE j < {cfg.b * cfg.r} GROUP BY doc_id, (j // {cfg.r})
-    ),
+    )"""
+
+
+def _minhash_oracle_ctes(cfg: DedupConfig) -> str:
+    """CTE chain (no WITH keyword) ending at ``cand`` (a, b) and ``sig``
+    (doc_id, j, v) — reproduces with_signature + bands_table +
+    candidate_pairs over the ``documents`` view, bit-for-bit."""
+    return f"""{_shingle_tokh_ctes(cfg.shingle_k)},
+    {_sig_band_ctes(cfg)},
     cand AS (
       SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
       FROM band x JOIN band y
@@ -554,7 +609,23 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidates": _lsh_candidates_oracle(DedupConfig(threshold=0.5)),
         "minhash_dedup": _minhash_dedup_oracle(DedupConfig(threshold=0.5)),
         "hll_cardinality": _hll_oracle(p=8),
+        "lsh_query_words": _lsh_query_words_oracle(DedupConfig(threshold=0.5)),
     }
+
+
+def _lsh_query_words_oracle(cfg: DedupConfig) -> str:
+    """MinHashLSH.query twin: word-md5 tokens -> sig -> bands -> per-query
+    candidate set union across matching buckets."""
+    return f"""WITH {_word_md5_tokh_ctes()},
+    {_sig_band_ctes(cfg)},
+    q AS (SELECT * FROM band WHERE doc_id % 17 = 0),
+    hits AS (
+      SELECT q.doc_id AS query_id, x.doc_id AS cand
+      FROM q JOIN band x ON q.band_idx = x.band_idx AND q.bkey = x.bkey
+    )
+    SELECT query_id,
+           array_to_string(list_sort(list(DISTINCT cand)), ',') AS candidates_csv
+    FROM hits GROUP BY query_id"""
 
 
 def _hll_oracle(p: int) -> str:
