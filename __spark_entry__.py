@@ -288,6 +288,71 @@ def q_lsh_query_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _word_md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig, set_size): word-set MinHash with md5-based 32-bit
+    token hashes — the DuckDB-computable token hash shared by the
+    lsh_query/ensemble/forest oracle rows."""
+    from datasketch_spark.functions.minhash import make_signature_from_tokens_udf
+
+    docs = _docs(spark, sf_dir)
+    words = distinct_words_col("text")
+    tok = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+    udf = make_signature_from_tokens_udf(128, 1)
+    return docs.select(
+        "doc_id", udf(tok).alias("sig"), F.size(words).alias("set_size")
+    )
+
+
+_ENSEMBLE_PARTS = [(1, 40), (41, 80), (81, 120), (121, 1_000_000)]
+
+
+def q_ensemble_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSHEnsemble containment query (lshensemble.py:230-249 semantics):
+    # word-set MinHash index, FIXED size partitions (literals, so the
+    # DuckDB twin sees the same bounds), per-(query, partition) (b, r)
+    # from the xq grid, first-b-bands probe. Probes: every 23rd doc.
+    from datasketch_spark.operators.ensemble import (
+        EnsembleConfig,
+        containment_query,
+        ensemble_bands,
+    )
+
+    sigs = _word_md5_sigs(spark, sf_dir)
+    ecfg = EnsembleConfig(threshold=0.8, num_perm=128, num_part=4, m=8)
+    bands = ensemble_bands(sigs, ecfg, _ENSEMBLE_PARTS)
+    queries = sigs.where(F.col("doc_id") % 23 == 0).select(
+        F.col("doc_id").alias("query_id"), "sig", "set_size"
+    )
+    res = containment_query(bands, queries, ecfg, _ENSEMBLE_PARTS)
+    return res.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_set("doc_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("candidates_csv")
+    )
+
+
+def q_forest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LSHForest top-k (lshforest.py:74-128 + documented re-rank): deepest
+    # shared prefix per tree, est-Jaccard tie-break. Probes: every 29th doc.
+    from datasketch_spark.operators.forest import (
+        ForestConfig,
+        prefix_table,
+        topk_query,
+    )
+
+    sigs = _word_md5_sigs(spark, sf_dir).select("doc_id", "sig")
+    fcfg = ForestConfig(num_perm=128, l_trees=8)
+    prefixes = prefix_table(sigs, fcfg)
+    queries = sigs.where(F.col("doc_id") % 29 == 0).withColumnRenamed(
+        "doc_id", "query_id"
+    )
+    return topk_query(prefixes, queries, sigs, fcfg, k=5)
+
+
 def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partitioned HNSW ANN (reference hnsw.py; rows-only check — the graph
     # search is approximate, hence genuinely non-SQL-expressible; recall vs
@@ -327,6 +392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "hnsw_topk": q_hnsw_topk,
         "lsh_query_words": q_lsh_query_words,
+        "ensemble_containment": q_ensemble_containment,
+        "forest_topk": q_forest_topk,
     }
 
 
@@ -401,15 +468,14 @@ def _word_md5_tokh_ctes() -> str:
                     ('0x' || substr(md5(word), 1, 8))::BIGINT AS h FROM w)"""
 
 
-def _sig_band_ctes(cfg: DedupConfig) -> str:
-    """CTEs from ``tokh`` to ``sig (doc_id, j, v)`` and ``band`` — the 128
-    universal-hash permutations (mod-2^64 wrap, Mersenne mod, 32-bit mask)
-    and the r-slot band keys."""
+def _params_sig_ctes(num_perm: int, seed: int) -> str:
+    """CTEs from ``tokh`` to ``sig (doc_id, j, v)`` — the universal-hash
+    permutations (mod-2^64 wrap, Mersenne mod, 32-bit mask)."""
     from datasketch_spark.functions.hashing import permutations
 
-    pa, pb = permutations(cfg.num_perm, cfg.seed)
+    pa, pb = permutations(num_perm, seed)
     params_vals = ",\n      ".join(
-        f"({j}, {int(pa[j])}, {int(pb[j])})" for j in range(cfg.num_perm)
+        f"({j}, {int(pa[j])}, {int(pb[j])})" for j in range(num_perm)
     )
     return f"""
     params(j, pa, pb) AS (VALUES {params_vals}),
@@ -418,7 +484,12 @@ def _sig_band_ctes(cfg: DedupConfig) -> str:
              CAST(min(((pa::HUGEINT * h + pb) % {_M64}) % {_MPRIME} % {_M32})
                   AS BIGINT) AS v
       FROM tokh CROSS JOIN params GROUP BY doc_id, j
-    ),
+    )"""
+
+
+def _sig_band_ctes(cfg: DedupConfig) -> str:
+    """``_params_sig_ctes`` plus the dedup config's r-slot band keys."""
+    return f"""{_params_sig_ctes(cfg.num_perm, cfg.seed)},
     band AS (
       SELECT doc_id, (j // {cfg.r}) AS band_idx, list(v ORDER BY j) AS bkey
       FROM sig WHERE j < {cfg.b * cfg.r} GROUP BY doc_id, (j // {cfg.r})
@@ -610,7 +681,116 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_dedup_oracle(DedupConfig(threshold=0.5)),
         "hll_cardinality": _hll_oracle(p=8),
         "lsh_query_words": _lsh_query_words_oracle(DedupConfig(threshold=0.5)),
+        "ensemble_containment": _ensemble_oracle(),
+        "forest_topk": _forest_oracle(),
     }
+
+
+def _ensemble_oracle() -> str:
+    """LSHEnsemble containment twin: fixed size partitions, xq-grid (b, r)
+    selection per (query, partition), first-b-bands probe — all literals
+    mirror q_ensemble_containment's EnsembleConfig exactly."""
+    from datasketch_spark.operators.ensemble import EnsembleConfig
+
+    ecfg = EnsembleConfig(threshold=0.8, num_perm=128, num_part=4, m=8)
+    parts_vals = ",".join(
+        f"({pid}, {up})" for pid, (_, up) in enumerate(_ENSEMBLE_PARTS)
+    )
+    xqp_vals = ",".join(
+        f"({i}, {int(b)}, {int(r)})" for i, (b, r) in enumerate(ecfg.params)
+    )
+    bandr_union = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {r} AS r, (j // {r}) AS band_idx, "
+        f"list(v ORDER BY j) AS bkey FROM sig WHERE j < {(128 // r) * r} "
+        f"GROUP BY doc_id, (j // {r})"
+        for r in ecfg.rs
+    )
+    # searchsorted(xqs, ratio, side='left'), clamped — same CASE chain as
+    # containment_query's xq_idx expression.
+    xq_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN (parts.upper::DOUBLE / q.set_size::DOUBLE) <= "
+            f"({float(x)!r}::DOUBLE) THEN {i}"
+            for i, x in enumerate(ecfg.xqs[:-1])
+        )
+        + f" ELSE {len(ecfg.xqs) - 1} END"
+    )
+    pid_case = (
+        "CASE "
+        + " ".join(
+            f"WHEN set_size <= {up} THEN {pid}"
+            for pid, (_, up) in enumerate(_ENSEMBLE_PARTS[:-1])
+        )
+        + f" ELSE {len(_ENSEMBLE_PARTS) - 1} END"
+    )
+    return f"""WITH {_word_md5_tokh_ctes()},
+    {_params_sig_ctes(128, 1)},
+    sz AS (SELECT doc_id, len({_DWORDS}) AS set_size FROM documents),
+    pdoc AS (SELECT doc_id, {pid_case} AS pid FROM sz),
+    bandr AS ({bandr_union}),
+    parts(pid, upper) AS (VALUES {parts_vals}),
+    xqp(xq_idx, b, r) AS (VALUES {xqp_vals}),
+    sel AS (
+      SELECT q.doc_id AS query_id, parts.pid, xqp.b, xqp.r
+      FROM (SELECT doc_id, set_size FROM sz WHERE doc_id % 23 = 0) q
+      CROSS JOIN parts
+      JOIN xqp ON xqp.xq_idx = ({xq_case})
+      WHERE xqp.b > 0
+    ),
+    hits AS (
+      SELECT sel.query_id, ib.doc_id AS cand
+      FROM sel
+      JOIN bandr qb ON qb.doc_id = sel.query_id AND qb.r = sel.r
+                   AND qb.band_idx < sel.b
+      JOIN bandr ib ON ib.r = qb.r AND ib.band_idx = qb.band_idx
+                   AND ib.bkey = qb.bkey
+      JOIN pdoc ON pdoc.doc_id = ib.doc_id AND pdoc.pid = sel.pid
+    )
+    SELECT query_id,
+           array_to_string(list_sort(list(DISTINCT cand)), ',') AS candidates_csv
+    FROM hits GROUP BY query_id"""
+
+
+def _forest_oracle() -> str:
+    """LSHForest top-k twin: per-tree longest common signature prefix
+    (8 trees x 16 slots), rank by deepest prefix then est-Jaccard then
+    doc_id — exactly topk_query's window."""
+    k_per_tree = 16  # num_perm 128 / l_trees 8
+    return f"""WITH {_word_md5_tokh_ctes()},
+    {_params_sig_ctes(128, 1)},
+    pairsig AS (
+      SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+             (a.j // {k_per_tree}) AS tree, (a.j % {k_per_tree}) AS off,
+             (a.v = b.v) AS eq
+      FROM sig a JOIN sig b ON a.j = b.j AND a.doc_id <> b.doc_id
+      WHERE a.doc_id % 29 = 0
+    ),
+    treedepth AS (
+      SELECT query_id, doc_id, tree,
+             coalesce(min(CASE WHEN NOT eq THEN off END), {k_per_tree}) AS plen
+      FROM pairsig GROUP BY query_id, doc_id, tree
+    ),
+    best AS (
+      SELECT query_id, doc_id, CAST(max(plen) AS INTEGER) AS best_depth
+      FROM treedepth GROUP BY query_id, doc_id HAVING max(plen) >= 1
+    ),
+    est AS (
+      SELECT query_id, doc_id,
+             (sum(CASE WHEN eq THEN 1 ELSE 0 END)::DOUBLE / 128.0) AS est_jaccard
+      FROM pairsig GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT b.query_id, b.doc_id, b.best_depth, e.est_jaccard,
+             CAST(row_number() OVER (
+               PARTITION BY b.query_id
+               ORDER BY b.best_depth DESC, e.est_jaccard DESC, b.doc_id ASC
+             ) AS INTEGER) AS rank
+      FROM best b JOIN est e
+        ON e.query_id = b.query_id AND e.doc_id = b.doc_id
+    )
+    SELECT query_id, doc_id, best_depth, est_jaccard, rank
+    FROM ranked WHERE rank <= 5"""
 
 
 def _lsh_query_words_oracle(cfg: DedupConfig) -> str:

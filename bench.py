@@ -58,6 +58,9 @@ def run_queries() -> None:
         "doc_stats",
         "hll_cardinality",
         "hnsw_topk",
+        "lsh_query_words",
+        "ensemble_containment",
+        "forest_topk",
     ]
     qs = entrymod.queries()
     times: dict[str, float] = {}
