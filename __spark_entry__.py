@@ -301,9 +301,12 @@ def _word_md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
     )
     udf = make_signature_from_tokens_udf(128, 1)
+    # The sig table fans out into several plan branches (index bands,
+    # query bands, size/selection); the lazy checkpoint makes the UDF
+    # evaluate once instead of once per branch.
     return docs.select(
         "doc_id", udf(tok).alias("sig"), F.size(words).alias("set_size")
-    )
+    ).localCheckpoint(eager=False)
 
 
 _ENSEMBLE_PARTS = [(1, 40), (41, 80), (81, 120), (121, 1_000_000)]

