@@ -309,21 +309,41 @@ def _word_md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
-_ENSEMBLE_PARTS = [(1, 40), (41, 80), (81, 120), (121, 1_000_000)]
+# Fixed distinct-5-gram-count partition bounds for the ensemble row
+# (literals, so the DuckDB twin sees the same bounds).
+_ENSEMBLE_PARTS = [(1, 250), (251, 350), (351, 450), (451, 1_000_000)]
+
+
+def _shingle_sigs_with_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig, set_size): the engine's standard shingle MinHash
+    (fast splitmix path — same sig the lsh_candidates oracle reproduces)
+    plus the distinct-shingle count. Lazily checkpointed: the sig table
+    fans out into several plan branches."""
+    from datasketch_spark.operators.lsh import with_signature
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cfg = DedupConfig(threshold=0.5)
+    set_size = F.size(F.array_distinct(char_ngrams_col(F.col("text"), 5)))
+    return (
+        with_signature(docs, cfg)
+        .select("doc_id", "sig", set_size.alias("set_size"))
+        .localCheckpoint(eager=False)
+    )
 
 
 def q_ensemble_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LSHEnsemble containment query (lshensemble.py:230-249 semantics):
-    # word-set MinHash index, FIXED size partitions (literals, so the
-    # DuckDB twin sees the same bounds), per-(query, partition) (b, r)
-    # from the xq grid, first-b-bands probe. Probes: every 23rd doc.
+    # LSHEnsemble containment query (lshensemble.py:230-249 semantics)
+    # over the standard shingle MinHash index: FIXED size partitions,
+    # per-(query, partition) (b, r) from the xq grid, first-b-bands probe.
+    # Probes: every 23rd doc. (Word-set sigs were measured degenerate here:
+    # stopword-dominated min-slots made every doc a candidate.)
     from datasketch_spark.operators.ensemble import (
         EnsembleConfig,
         containment_query,
         ensemble_bands,
     )
 
-    sigs = _word_md5_sigs(spark, sf_dir)
+    sigs = _shingle_sigs_with_size(spark, sf_dir)
     ecfg = EnsembleConfig(threshold=0.8, num_perm=128, num_part=4, m=8)
     bands = ensemble_bands(sigs, ecfg, _ENSEMBLE_PARTS)
     queries = sigs.where(F.col("doc_id") % 23 == 0).select(
@@ -340,14 +360,15 @@ def q_ensemble_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_forest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LSHForest top-k (lshforest.py:74-128 + documented re-rank): deepest
-    # shared prefix per tree, est-Jaccard tie-break. Probes: every 29th doc.
+    # shared prefix per tree, est-Jaccard tie-break, over the standard
+    # shingle MinHash signatures. Probes: every 29th doc.
     from datasketch_spark.operators.forest import (
         ForestConfig,
         prefix_table,
         topk_query,
     )
 
-    sigs = _word_md5_sigs(spark, sf_dir).select("doc_id", "sig")
+    sigs = _shingle_sigs_with_size(spark, sf_dir).select("doc_id", "sig")
     fcfg = ForestConfig(num_perm=128, l_trees=8)
     prefixes = prefix_table(sigs, fcfg)
     queries = sigs.where(F.col("doc_id") % 29 == 0).withColumnRenamed(
@@ -727,9 +748,15 @@ def _ensemble_oracle() -> str:
         )
         + f" ELSE {len(_ENSEMBLE_PARTS) - 1} END"
     )
-    return f"""WITH {_word_md5_tokh_ctes()},
+    return f"""WITH {_shingle_tokh_ctes(5)},
     {_params_sig_ctes(128, 1)},
-    sz AS (SELECT doc_id, len({_DWORDS}) AS set_size FROM documents),
+    sz AS (
+      SELECT doc_id,
+             len(list_distinct([substr(text, i, 5)
+                 for i in generate_series(1, greatest(length(text) - 4, 1))]))
+               AS set_size
+      FROM documents
+    ),
     pdoc AS (SELECT doc_id, {pid_case} AS pid FROM sz),
     bandr AS ({bandr_union}),
     parts(pid, upper) AS (VALUES {parts_vals}),
@@ -760,7 +787,7 @@ def _forest_oracle() -> str:
     (8 trees x 16 slots), rank by deepest prefix then est-Jaccard then
     doc_id — exactly topk_query's window."""
     k_per_tree = 16  # num_perm 128 / l_trees 8
-    return f"""WITH {_word_md5_tokh_ctes()},
+    return f"""WITH {_shingle_tokh_ctes(5)},
     {_params_sig_ctes(128, 1)},
     pairsig AS (
       SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
