@@ -50,11 +50,20 @@ def dedup_pipeline(
     checkpoints: CheckpointManager | None = None,
     key_col: str = "url",
     text_col: str = "text",
+    substring_pass: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full pipeline; returns every intermediate stage by name.
 
     ``clusters`` is the headline output: (doc_id, url, cluster_id) where
     cluster_id = min doc_id of the near-duplicate component.
+
+    ``substring_pass=True`` additionally runs the exact long-substring
+    pass (operators/suffix.py, Lee et al. 2021 style; thresholds
+    cfg.substring_k / cfg.substring_window) and unions its edges into the
+    connected-components input — two docs sharing an exact match of
+    >= k + w - 1 bytes cluster together even when their overall shingle
+    Jaccard is below threshold (the north rule's 'exact long-match dedup'
+    merged ahead of clustering).
     """
     cfg = cfg or DedupConfig()
     ckpt = checkpoints or NoopCheckpoints()
@@ -89,6 +98,20 @@ def dedup_pipeline(
     verified = ckpt.materialize(verified, "verified")
 
     edges = verified.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    substring_edges = None
+    if substring_pass:
+        from datasketch_spark.operators.suffix import substring_dedup_edges
+
+        substring_edges = substring_dedup_edges(
+            docs, k=cfg.substring_k, w=cfg.substring_window
+        )
+        if ckpt.enabled:
+            substring_edges = ckpt.materialize(substring_edges, "substring_edges")
+        edges = edges.unionByName(
+            substring_edges.select(
+                F.col("a").alias("u"), F.col("b").alias("v")
+            )
+        )
     labels = connected_components_auto(edges)
 
     clusters = attach_cluster_ids(
@@ -96,7 +119,7 @@ def dedup_pipeline(
     )
     clusters = ckpt.materialize(clusters, "clusters")
 
-    return {
+    stages = {
         "docs": docs,
         "signatures": sigs,
         "bands": bands,
@@ -107,6 +130,9 @@ def dedup_pipeline(
         # buckets excluded by the cap — evaluate to audit what was dropped.
         "dropped_buckets": lsh.dropped_buckets(bands, cfg),
     }
+    if substring_edges is not None:
+        stages["substring_edges"] = substring_edges
+    return stages
 
 
 def cluster_summary(clusters: DataFrame) -> DataFrame:

@@ -126,3 +126,40 @@ def test_keep_canonical_and_summary(pipeline):
     assert n_canon < n_docs  # dups removed
     sizes = cluster_summary(pipeline["clusters"]).collect()
     assert sum(r["cluster_size"] * r["n_clusters"] for r in sizes) == n_docs
+
+
+def test_substring_pass_merges_exact_long_match_clusters(spark):
+    # Two docs share a 120-byte exact block but are otherwise disjoint:
+    # shingle Jaccard is far below threshold (separate clusters without
+    # the pass), yet the exact-substring pass (min match k+w-1 = 89 bytes)
+    # must merge them when enabled.
+    import numpy as np
+
+    from datasketch_spark.config import DedupConfig
+    from datasketch_spark.operators.dedup import dedup_pipeline
+
+    rng = np.random.RandomState(3)
+
+    def junk(n):
+        return "".join(chr(97 + int(c)) for c in rng.randint(0, 26, n))
+
+    common = "SHARED-" * 20  # 140 bytes of exact overlap
+    rows = [
+        ("a", common + junk(900)),
+        ("b", junk(900) + common),
+        ("c", junk(1000)),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "text"])
+    cfg = DedupConfig(threshold=0.8)
+
+    plain = dedup_pipeline(pages, cfg)["clusters"]
+    by_url = {r["url"]: r["cluster_id"] for r in plain.collect()}
+    assert by_url["a"] != by_url["b"]  # not near-dups by Jaccard
+
+    merged_stages = dedup_pipeline(pages, cfg, substring_pass=True)
+    merged = {r["url"]: r["cluster_id"] for r in merged_stages["clusters"].collect()}
+    assert merged["a"] == merged["b"]
+    assert merged["c"] not in (merged["a"],)
+    # The stage is surfaced for audit.
+    sub = merged_stages["substring_edges"].collect()
+    assert len(sub) == 1 and sub[0]["match_len"] >= 89
