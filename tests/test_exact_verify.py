@@ -44,3 +44,37 @@ def test_exact_vs_est_mode_precision(spark):
     }
     # Same candidate generation; both filter at 0.5 — overlap dominates.
     assert len(exact & est) / max(1, len(exact | est)) > 0.8
+
+
+def test_winnow_guarantee_property():
+    # The correctness foundation of the substring_edges oracle: ANY common
+    # substring of length >= k + w - 1 must yield a shared fingerprint at
+    # aligned positions in both docs (so extend-verify recovers the match).
+    # Pure-numpy property check over random plants.
+    import numpy as np
+
+    from datasketch_spark.operators.suffix import _gram_hashes, winnow
+
+    rng = np.random.RandomState(17)
+    k, w = 11, 7
+    min_len = k + w - 1
+    for trial in range(25):
+        block_len = int(rng.randint(min_len, min_len + 30))
+        block = rng.randint(0, 256, block_len).astype(np.uint8)
+        pad_a = rng.randint(0, 256, int(rng.randint(0, 40))).astype(np.uint8)
+        pad_b = rng.randint(0, 256, int(rng.randint(0, 40))).astype(np.uint8)
+        doc_a = np.concatenate([pad_a, block, rng.randint(0, 256, 25).astype(np.uint8)])
+        doc_b = np.concatenate([rng.randint(0, 256, 33).astype(np.uint8), block, pad_b])
+        ha, hb = _gram_hashes(doc_a, k), _gram_hashes(doc_b, k)
+        sa, sb = winnow(ha, w), winnow(hb, w)
+        start_a, start_b = len(pad_a), 33
+        # aligned shared fingerprint inside the planted block?
+        found = False
+        for pa in sa:
+            off = pa - start_a
+            if 0 <= off <= block_len - k:
+                pb = start_b + off
+                if pb in set(sb.tolist()) and ha[pa] == hb[pb]:
+                    found = True
+                    break
+        assert found, f"trial {trial}: no aligned shared fingerprint"
