@@ -160,6 +160,27 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_with_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The integrated north-rule pipeline: MinHash near-dup edges UNION
+    # exact-substring edges (>= 29-byte match at this k/w) -> connected
+    # components -> cluster labels. Both edge sets are individually
+    # oracle-proven; the DuckDB twin unions them before the recursive CC.
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    cfg = DedupConfig(threshold=0.5, substring_k=20, substring_window=10)
+    clusters = dedup_pipeline(docs, cfg, substring_pass=True)["clusters"]
+    out = clusters.select(
+        F.col("url").cast("bigint").alias("orig_doc_id"), "cluster_id"
+    )
+    reps = out.groupBy("cluster_id").agg(
+        F.min("orig_doc_id").alias("cluster_rep")
+    )
+    return out.join(F.broadcast(reps), "cluster_id").select(
+        "orig_doc_id", "cluster_rep"
+    )
+
+
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     cfg = DedupConfig(threshold=0.5)
@@ -368,6 +389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_with_substring": q_dedup_with_substring,
         "lsh_candidates": q_lsh_candidates,
         "substring_edges": q_substring_edges,
         "substring_match_len": q_substring_match_len,
@@ -495,14 +517,34 @@ def _lsh_candidates_oracle(cfg: DedupConfig) -> str:
     return f"WITH {_minhash_oracle_ctes(cfg)}\n    SELECT a, b FROM cand"
 
 
-def _minhash_dedup_oracle(cfg: DedupConfig) -> str:
-    """cand -> est-Jaccard verify (>= threshold of num_perm equal slots) ->
-    connected components (recursive min-label walk) -> (orig_doc_id,
-    cluster_rep = min doc_id of the component; singletons label themselves).
-    """
+def _minhash_dedup_oracle(cfg: DedupConfig, with_substring: bool = False) -> str:
+    """cand -> est-Jaccard verify (>= threshold of num_perm equal slots)
+    [optionally UNION the exact-substring edge set: pairs sharing a
+    (substring_k + substring_window - 1)-gram, per the winnowing
+    guarantee] -> connected components (recursive min-label walk) ->
+    (orig_doc_id, cluster_rep = min doc_id of the component; singletons
+    label themselves)."""
     import math
 
     min_eq = int(math.ceil(cfg.threshold * cfg.num_perm - 1e-12))
+    sub_ctes = ""
+    sub_union = ""
+    if with_substring:
+        glen = cfg.substring_k + cfg.substring_window - 1
+        sub_ctes = f"""
+    subgram AS (
+      SELECT DISTINCT doc_id,
+             unnest([substr(text, i, {glen})
+                     for i in generate_series(1, length(text) - {glen - 1})])
+               AS gram
+      FROM documents WHERE length(text) >= {glen}
+    ),
+    subedges AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM subgram x JOIN subgram y
+        ON x.gram = y.gram AND x.doc_id < y.doc_id
+    ),"""
+        sub_union = " UNION SELECT a, b FROM subedges"
     return f"""WITH RECURSIVE {_minhash_oracle_ctes(cfg)},
     eq AS (
       SELECT c.a, c.b, count(*) AS n_eq
@@ -511,8 +553,8 @@ def _minhash_dedup_oracle(cfg: DedupConfig) -> str:
       JOIN sig sb ON sb.doc_id = c.b AND sb.j = sa.j
       WHERE sa.v = sb.v
       GROUP BY c.a, c.b
-    ),
-    edges AS (SELECT a, b FROM eq WHERE n_eq >= {min_eq}),
+    ),{sub_ctes}
+    edges AS (SELECT a, b FROM eq WHERE n_eq >= {min_eq}{sub_union}),
     sym AS (SELECT a AS u, b AS v FROM edges
             UNION ALL SELECT b, a FROM edges),
     walk(node, lbl) AS (
@@ -661,6 +703,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lsh_candidates": _lsh_candidates_oracle(DedupConfig(threshold=0.5)),
         "minhash_dedup": _minhash_dedup_oracle(DedupConfig(threshold=0.5)),
+        "dedup_with_substring": _minhash_dedup_oracle(
+            DedupConfig(threshold=0.5, substring_k=20, substring_window=10),
+            with_substring=True,
+        ),
         "hll_cardinality": _hll_oracle(p=8),
         "lsh_query_words": _lsh_query_words_oracle(DedupConfig(threshold=0.5)),
         "ensemble_containment": _ensemble_oracle(),

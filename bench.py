@@ -46,6 +46,7 @@ def run_queries() -> None:
 
     headline = [
         "minhash_dedup",
+        "dedup_with_substring",
         "lsh_candidates",
         "substring_edges",
         "exact_dup_groups",

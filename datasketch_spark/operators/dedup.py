@@ -103,7 +103,10 @@ def dedup_pipeline(
         from datasketch_spark.operators.suffix import substring_dedup_edges
 
         substring_edges = substring_dedup_edges(
-            docs, k=cfg.substring_k, w=cfg.substring_window
+            docs,
+            k=cfg.substring_k,
+            w=cfg.substring_window,
+            bucket_cap=cfg.bucket_cap,
         )
         if ckpt.enabled:
             substring_edges = ckpt.materialize(substring_edges, "substring_edges")
