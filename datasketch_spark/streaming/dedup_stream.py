@@ -12,19 +12,36 @@ The reference has no streaming story; its closest primitive is
      via ``transform`` + the bloom membership UDF. One-sided error:
      near-dups of indexed docs are dropped (plus fpp false drops); novel
      docs pass.
+  3. ``streaming_lsh_claims``: a custom STATEFUL operator
+     (``applyInPandasWithState``) — the incremental LSH index as
+     streaming state. Each band bucket is a state group remembering its
+     first claimant and population; every incoming (doc, bucket) row is
+     annotated with the bucket's prior owner/count, so "collides with any
+     earlier doc" is a post-filter. Unlike the Bloom gate the index GROWS
+     with the stream and survives restarts through the checkpoint.
 
-Both consume the pages schema (url, warc_ts, html, text, lang).
+All consume the pages schema (url, warc_ts, html, text, lang).
 """
 
 from __future__ import annotations
 
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from datasketch_spark.config import DedupConfig
 from datasketch_spark.functions.text import fingerprint_col
 from datasketch_spark.operators.bloom import LSHBloomFilter
-from datasketch_spark.operators.lsh import with_signature
+from datasketch_spark.operators.lsh import bands_table, with_signature
 
 
 def exact_dedup_stream(
@@ -57,3 +74,85 @@ def near_dedup_stream(
     if keep_maybe_dups:
         return marked
     return marked.where(~F.col("maybe_dup")).drop("maybe_dup", "sig")
+
+
+_CLAIMS_SCHEMA = StructType(
+    [
+        StructField("band_idx", LongType(), False),
+        StructField("band_hash", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("first_url", StringType(), False),
+        StructField("prior_count", LongType(), False),
+    ]
+)
+
+_CLAIMS_STATE_SCHEMA = StructType(
+    [
+        StructField("first_url", StringType(), True),
+        StructField("n", LongType(), True),
+    ]
+)
+
+
+def streaming_lsh_claims(
+    stream: DataFrame,
+    cfg: DedupConfig,
+    key_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental streaming LSH index: (band_idx, band_hash, url,
+    first_url, prior_count) per incoming band row.
+
+    State (per band bucket, via ``applyInPandasWithState``): the first url
+    that claimed the bucket and how many rows it has absorbed.
+    ``prior_count`` is the bucket population BEFORE this row arrived, so
+    ``prior_count > 0 AND first_url != url`` means "this doc collides with
+    an earlier doc in this bucket" — the streaming MinHashLSH
+    insert-then-query. Within a microbatch, rows are processed in sorted
+    ``key_col`` order for determinism.
+
+    State never expires (``NoTimeout``): the index is meant to grow with
+    the accepted corpus, bounded by distinct buckets (b x corpus size at
+    worst); shard the stream by band_hash range if a single store outgrows
+    an executor, exactly like the batch bands table.
+    """
+    sigs = with_signature(stream, cfg, text_col=text_col).select(key_col, "sig")
+    bands = bands_table(sigs, cfg, key_col=key_col)
+
+    def _update(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        band_idx, band_hash = int(key[0]), int(key[1])
+        if state.exists:
+            first_url, n = state.get
+        else:
+            first_url, n = None, 0
+        out_url, out_first, out_prior = [], [], []
+        for pdf in pdfs:
+            for url in sorted(pdf[key_col].tolist()):
+                if first_url is None:
+                    first_url = url
+                out_url.append(url)
+                out_first.append(first_url)
+                out_prior.append(n)
+                n += 1
+        state.update((first_url, n))
+        yield pd.DataFrame(
+            {
+                "band_idx": band_idx,
+                "band_hash": band_hash,
+                "url": out_url,
+                "first_url": out_first,
+                "prior_count": out_prior,
+            }
+        )
+
+    return bands.groupBy("band_idx", "band_hash").applyInPandasWithState(
+        _update,
+        outputStructType=_CLAIMS_SCHEMA,
+        stateStructType=_CLAIMS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -62,3 +62,61 @@ def test_near_dedup_stream_filters_known_dups(spark, tmp_path):
         for r in spark.sql(f"select url, maybe_dup from {name2}").collect()
     }
     assert flags == {"dup": True, "new": False}
+
+
+def test_streaming_lsh_claims_stateful_across_restarts(spark, tmp_path):
+    # The applyInPandasWithState incremental index: bucket state must
+    # persist through the checkpoint across two separate query runs —
+    # a near-dup arriving in run 2 collides with the doc indexed in run 1.
+    import time as _t
+
+    from datasketch_spark.streaming.dedup_stream import streaming_lsh_claims
+
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    base_text = "structured streaming stateful lsh index demo text " * 8
+    schema = "url string, text string"
+
+    out_dir = str(tmp_path / "claims_out")
+
+    def run_batch(rows, run_id):
+        spark.createDataFrame(rows, schema).write.parquet(
+            str(src / f"batch{run_id}")
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        claims = streaming_lsh_claims(stream, CFG, key_col="url")
+        # File sink: the only built-in sink that recovers from a
+        # checkpoint (memory sink cannot resume).
+        q = (
+            claims.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    out1 = run_batch([("a", base_text), ("c", "completely different " * 20)], 0)
+    # Run 1: every bucket is fresh.
+    assert out1 and all(r["prior_count"] == 0 for r in out1)
+    assert all(r["first_url"] == r["url"] for r in out1)
+
+    all_rows = run_batch(
+        [("b", base_text + " tiny suffix change"), ("d", "novel words only " * 20)],
+        1,
+    )
+    # The file sink accumulates both runs; run 2 processed ONLY the new
+    # batch (checkpoint remembers batch 0), and b's shared buckets must
+    # show a's prior claim carried through run 1's state.
+    out2 = [r for r in all_rows if r["url"] in ("b", "d")]
+    assert {r["url"] for r in all_rows} == {"a", "b", "c", "d"}
+    b_hits = [r for r in out2 if r["url"] == "b" and r["prior_count"] > 0]
+    assert b_hits and all(r["first_url"] == "a" for r in b_hits)
+    # Any single colliding bucket makes a candidate in LSH semantics; the
+    # suffix edit perturbs many band minima, so expect a handful, not all.
+    assert len(b_hits) >= 2
+    d_rows = [r for r in out2 if r["url"] == "d"]
+    assert d_rows and all(r["prior_count"] == 0 for r in d_rows)
