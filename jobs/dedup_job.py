@@ -30,12 +30,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from datasketch_spark.config import DedupConfig  # noqa: E402
-from datasketch_spark.operators.components import connected_components_auto  # noqa: E402
 from datasketch_spark.operators.dedup import cluster_summary, dedup_pipeline  # noqa: E402
-from datasketch_spark.operators.suffix import substring_dedup_edges  # noqa: E402
 from datasketch_spark.session import get_spark  # noqa: E402
 from datasketch_spark.sources.io import CheckpointManager  # noqa: E402
 
@@ -87,26 +83,16 @@ def main(argv: list[str] | None = None) -> None:
             "r": cfg.r,
             "shingle_k": cfg.shingle_k,
             "hash_mode": cfg.hash_mode,
+            # In the digest: toggling the pass must invalidate resumable
+            # stages (clusters differ with/without substring edges).
+            "substring_pass": bool(args.substring_pass),
+            "substring_k": cfg.substring_k,
+            "substring_window": cfg.substring_window,
         },
     )
-    stages = dedup_pipeline(pages, cfg, checkpoints=ckpt)
-
-    if args.substring_pass:
-        docs = stages["docs"]
-        sub_edges = substring_dedup_edges(docs, key_col="doc_id", text_col="text")
-        sub_edges = ckpt.materialize(sub_edges, "substring_edges")
-        # Merge both edge sets and recluster.
-        all_edges = (
-            stages["verified"].select(F.col("a").alias("u"), F.col("b").alias("v"))
-            .unionByName(sub_edges.select(F.col("a").alias("u"), F.col("b").alias("v")))
-        )
-        labels = connected_components_auto(all_edges)
-        from datasketch_spark.operators.dedup import attach_cluster_ids
-
-        clusters = attach_cluster_ids(
-            docs.select("doc_id", "url"), labels, key_col="doc_id"
-        )
-        stages["clusters"] = ckpt.materialize(clusters, "clusters_with_substring")
+    stages = dedup_pipeline(
+        pages, cfg, checkpoints=ckpt, substring_pass=args.substring_pass
+    )
 
     n_docs = stages["clusters"].count()
     n_clusters = stages["clusters"].select("cluster_id").distinct().count()
