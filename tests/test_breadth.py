@@ -382,3 +382,30 @@ def test_ann_topk_and_simhash_recall(spark):
     }
     assert approx <= exact
     assert len(approx) >= 0.9 * len(exact)  # high recall on tight clusters
+
+
+def test_hll_count_reference_parity(spark):
+    # The Spark-native reference-parity estimator vs the ACTUAL reference
+    # HyperLogLog object, same custom md5-based 32-bit hashfunc, same
+    # values: estimates must agree to float precision.
+    import hashlib
+
+    from tests.refload import load_reference_module
+
+    ref_hll_mod = load_reference_module("hyperloglog")
+    from datasketch_spark.operators.hll import hll_count_reference, md5_hash32_col
+
+    def md5_hash32(b: bytes) -> int:
+        return int(hashlib.md5(b).hexdigest()[:8], 16)
+
+    words = [f"word-{i}" for i in range(3000)] + ["word-0", "word-1"]
+    ref = ref_hll_mod.HyperLogLog(p=8, hashfunc=md5_hash32)
+    for w in words:
+        ref.update(w.encode())
+    expected = ref.count()
+
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = hll_count_reference(df, "word", p=8, hash32=md5_hash32_col("word")).collect()[
+        0
+    ]["hll_estimate"]
+    assert abs(got - float(expected)) < 1e-9, (got, expected)

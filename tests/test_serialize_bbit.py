@@ -93,3 +93,27 @@ def test_bbit_and_count_and_empty(spark):
     )
     true_j = 400 / 600
     assert abs(est - true_j) < 0.15
+
+
+def test_lean_minhash_bytes_parity_with_reference():
+    # Byte-identical serialization vs the reference LeanMinHash
+    # (lean_minhash.py:126-175): same seed/count/hashvalues layout.
+    from tests.refload import load_reference_module
+
+    ref_mh = load_reference_module("minhash")
+    ref_lean = load_reference_module("lean_minhash")
+
+    from datasketch_spark.functions.serialize import (
+        lean_minhash_bytes,
+        lean_minhash_from_bytes,
+    )
+
+    m = ref_mh.MinHash(num_perm=32, seed=7)
+    m.update_batch([f"t{i}".encode() for i in range(50)])
+    lean = ref_lean.LeanMinHash(m)
+    buf = bytearray(lean.bytesize(byteorder="<"))
+    lean.serialize(buf, byteorder="<")
+    ours = lean_minhash_bytes(7, m.hashvalues)
+    assert bytes(buf) == ours
+    seed, vals = lean_minhash_from_bytes(bytes(buf))
+    assert seed == 7 and vals == [int(v) for v in m.hashvalues]
