@@ -231,3 +231,76 @@ def test_signature_bit_parity_vs_reference_implementation():
 
     ours = permute_min(shingle_hashes_sha1(text, 5), a, b)
     assert np.array_equal(ref.hashvalues, ours)
+
+
+def test_permute_min_property_vs_pure_integer_math():
+    # Hypothesis property: the Mersenne-fold uint64 kernel must equal the
+    # same computation done in unbounded Python integers:
+    #   min(((a*h + b) mod 2^64) mod (2^61-1) & (2^32-1)) per permutation,
+    # including edge hash values 0 and 2^32-1.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datasketch_spark.functions.hashing import permute_min
+
+    P = (1 << 61) - 1
+    M64 = 1 << 64
+    MASK = (1 << 32) - 1
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        tokens=st.lists(
+            st.one_of(
+                st.integers(min_value=0, max_value=(1 << 32) - 1),
+                st.sampled_from([0, 1, (1 << 32) - 1, (1 << 31)]),
+            ),
+            min_size=1,
+            max_size=120,
+        ),
+        num_perm=st.sampled_from([1, 4, 16]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(tokens, num_perm, seed):
+        a, b = permutations(num_perm, seed)
+        got = permute_min(np.array(tokens, dtype=np.uint64), a, b)
+        for j in range(num_perm):
+            expect = min(
+                ((int(a[j]) * h + int(b[j])) % M64) % P & MASK for h in tokens
+            )
+            assert int(got[j]) == expect, (j, tokens[:5])
+
+    check()
+
+
+def test_fast_shingle_windows_property_vs_per_string():
+    # Hypothesis property: the chunked whole-batch shingler must give each
+    # doc exactly the same hash multiset as shingling that doc alone.
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from datasketch_spark.functions.shingles import (
+        batch_shingle_hashes,
+        shingle_hashes_fast,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=0, max_codepoint=0x2FF),
+                min_size=0,
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        k=st.sampled_from([2, 5, 8]),
+    )
+    def check(texts, k):
+        hv, starts, ends = batch_shingle_hashes(texts, k, "fast")
+        for i, t in enumerate(texts):
+            mine = np.sort(np.unique(hv[starts[i] : ends[i]]))
+            alone = shingle_hashes_fast(t, k)
+            assert np.array_equal(mine, alone), (i, repr(t))
+
+    check()
