@@ -104,7 +104,10 @@ def bucket_histogram(bands: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(
-    bands: DataFrame, cfg: DedupConfig, key_col: str = "doc_id"
+    bands: DataFrame,
+    cfg: DedupConfig,
+    key_col: str = "doc_id",
+    salt_groups: int | None = None,
 ) -> DataFrame:
     """All-pairs dedup: distinct (a, b), a < b, sharing >= 1 LSH bucket.
 
@@ -119,6 +122,15 @@ def candidate_pairs(
     self-join shuffle. AQE handles residual skew in the final distinct.
     A bucket of n yields n(n-1)/2 pairs; dropped buckets are surfaced by
     ``dropped_buckets``, never silently.
+
+    ``salt_groups = g`` additionally SALTS the pair expansion: each
+    bucket's member list is split into g deterministic salt groups and the
+    n^2/2 pair generation is fanned out over the g(g+1)/2 group-pair units
+    (one row per unit, re-shuffled so different executors expand different
+    units). Without salting, a bucket at the cap expands all its pairs in
+    ONE task — fine at cap 2000 (~2M pairs), a straggler if the cap is
+    raised. Salting keeps task-level pair work ~n^2/g^2 and lets the cap
+    grow accordingly. Output is identical (exact same pair set).
     """
     hot = (
         bands.groupBy("band_idx", "band_hash")
@@ -133,6 +145,8 @@ def candidate_pairs(
         .where(F.size("ids") >= 2)
         .select(F.array_sort("ids").alias("ids"))
     )
+    if salt_groups and salt_groups > 1:
+        return _salted_pair_expansion(buckets, salt_groups)
     # pairs(ids) = [(ids[i], ids[j]) for i < j], ids sorted -> a < b.
     pair_expr = F.flatten(
         F.transform(
@@ -146,6 +160,62 @@ def candidate_pairs(
     return (
         buckets.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _salted_pair_expansion(buckets: DataFrame, g: int) -> DataFrame:
+    """Fan each bucket's pair expansion over g(g+1)/2 (salt_i, salt_j)
+    units. Each member belongs to exactly one deterministic salt group
+    (xxhash64 mod g), so every unordered pair appears in exactly one unit:
+    within-group pairs when i == j, full cross product when i < j. The
+    repartition spreads units across executors — that IS the salted
+    repartitioning step."""
+    units = (
+        buckets.select(
+            "ids",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(g * g - 1))
+            ).alias("unit"),
+        )
+        .withColumn("si", (F.col("unit") / g).cast("int"))
+        .withColumn("sj", F.pmod(F.col("unit"), F.lit(g)))
+        .where(F.col("si") <= F.col("sj"))
+        .withColumn(
+            "gi", F.filter("ids", lambda x: F.pmod(F.xxhash64(x), F.lit(g)) == F.col("si"))
+        )
+        .withColumn(
+            "gj", F.filter("ids", lambda x: F.pmod(F.xxhash64(x), F.lit(g)) == F.col("sj"))
+        )
+        .where((F.size("gi") >= 1) & (F.size("gj") >= 1))
+        .select("si", "sj", "gi", "gj")
+        .repartition(F.col("si"), F.col("sj"), F.xxhash64("gi", "gj"))
+    )
+    within = F.flatten(
+        F.transform(
+            "gi",
+            lambda x, i: F.transform(
+                F.slice(F.col("gi"), i + 2, F.size("gi")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cross = F.flatten(
+        F.transform(
+            "gi",
+            lambda x: F.transform(
+                "gj",
+                lambda y: F.struct(
+                    F.least(x, y).alias("a"), F.greatest(x, y).alias("b")
+                ),
+            ),
+        )
+    )
+    pair_expr = F.when(F.col("si") == F.col("sj"), within).otherwise(cross)
+    return (
+        units.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .where(F.col("a") != F.col("b"))
         .dropDuplicates(["a", "b"])
     )
 
