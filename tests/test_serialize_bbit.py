@@ -117,3 +117,36 @@ def test_lean_minhash_bytes_parity_with_reference():
     assert bytes(buf) == ours
     seed, vals = lean_minhash_from_bytes(bytes(buf))
     assert seed == 7 and vals == [int(v) for v in m.hashvalues]
+
+
+def test_bbit_jaccard_r0_parity_with_reference(spark):
+    # At r=0 (the default large-universe case) our b-bit estimator and the
+    # reference bBitMinHash.jaccard must agree exactly; for r > 0 they
+    # intentionally diverge (2^b vs the reference's 2*b — documented in
+    # functions/minhash.py::_bbit_C).
+    from tests.refload import load_reference_module
+
+    ref_mh = load_reference_module("minhash")
+    ref_bbit = load_reference_module("b_bit_minhash")
+
+    from datasketch_spark.functions.minhash import bbit_col, bbit_jaccard_col
+
+    m1 = ref_mh.MinHash(num_perm=128, seed=1)
+    m2 = ref_mh.MinHash(num_perm=128, seed=1)
+    common = [f"c{i}".encode() for i in range(60)]
+    m1.update_batch(common + [f"x{i}".encode() for i in range(40)])
+    m2.update_batch(common + [f"y{i}".encode() for i in range(40)])
+    for b in (1, 2, 4):
+        expected = ref_bbit.bBitMinHash(m1, b=b, r=0.0).jaccard(
+            ref_bbit.bBitMinHash(m2, b=b, r=0.0)
+        )
+        df = spark.createDataFrame(
+            [([int(v) for v in m1.hashvalues], [int(v) for v in m2.hashvalues])],
+            ["s1", "s2"],
+        )
+        got = df.select(
+            bbit_jaccard_col(
+                bbit_col("s1", b), bbit_col("s2", b), b=b, r=0.0, num_perm=128
+            ).alias("j")
+        ).collect()[0]["j"]
+        assert abs(got - float(expected)) < 1e-12, (b, got, expected)
