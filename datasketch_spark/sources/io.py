@@ -113,9 +113,12 @@ class CheckpointManager:
 class NoopCheckpoints(CheckpointManager):
     """In-memory runs (tests/queries): lazy localCheckpoint, nothing
     written. eager=False measured ~0.5s faster per sf0.1 pipeline run than
-    eager (no serialized materialization jobs; the checkpoint still
-    guarantees single evaluation of reused stages like signatures once the
-    first action touches them)."""
+    eager. Caveat (measured): under AQE, localCheckpoint on a plan that
+    CONTAINS shuffles executes those shuffle stages immediately anyway
+    (requesting the RDD makes AdaptiveSparkPlanExec materialize its query
+    stages) — the laziness win is real only for shuffle-free stages like
+    the signature projection; for the rest it merely skips the final
+    result-stage job."""
 
     def __init__(self) -> None:
         super().__init__(root="", enabled=False)
