@@ -165,7 +165,8 @@ def _bbit_C(r: float, b: int) -> float:
     (``b_bit_minhash.py:127-145``) uses ``2*b`` in the same position, which
     deviates from the paper it cites (a typo: at r -> 0 both reduce to the
     paper's C = 2^-b limit only via the 2^b form). Estimates therefore
-    differ from the reference for r > 0 and b != 2; pass r=0 (the default
+    differ from the reference for r > 0 and b not in (1, 2) — 2*b equals
+    2^b at both b=1 and b=2; pass r=0 (the default
     large-universe case) for exact behavioral agreement."""
     if r <= 0.0:
         return 2.0 ** (-b)

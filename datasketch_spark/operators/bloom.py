@@ -13,8 +13,8 @@ a routing hash, and each (band, shard) bitmap is built WHOLE inside one
 ``applyInPandas`` task from all of its keys. The driver therefore only ever
 receives fixed-size shard bitmaps (default <= 4 MiB each), never a
 corpus-sized bitmap per input partition — the build is one shuffle on
-(band, shard) and each task's working set is ~n/(b*n_shards) keys plus one
-shard bitmap. (The previous design emitted a FULL-size per-partition bitmap
+(band, shard) and each task's working set is ~n/n_shards keys (a band sees
+all n keys, split across its n_shards shards) plus one shard bitmap. (The previous design emitted a FULL-size per-partition bitmap
 from every input partition, which at 10^9 keys meant ~GBs per partition
 landing on the driver.)
 

@@ -131,7 +131,12 @@ def hll_count_reference(
     )
     stats = regs.agg(
         F.count("*").alias("n_present"),
-        F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s_present"),
+        # coalesce: on an EMPTY input sum() is NULL; 0.0 keeps the empty
+        # sketch in the linear-counting branch, yielding m*ln(m/m) = 0.0
+        # exactly like the reference's fresh sketch.
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("reg"))), F.lit(0.0)
+        ).alias("s_present"),
     )
     e = F.lit(alpha) * F.lit(float(m * m)) / (
         (F.lit(m) - F.col("n_present")).cast("double") + F.col("s_present")

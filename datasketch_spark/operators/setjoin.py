@@ -43,41 +43,31 @@ def _pair_expand(buckets: DataFrame, ids_col: str = "ids") -> DataFrame:
     )
 
 
-def prefix_filtered_jaccard_pairs(
-    d: DataFrame,
-    arr_col: str,
-    threshold: float,
-    block_cols: list[str] | None = None,
-    id_col: str = "doc_id",
-    round_digits: int | None = 4,
-    bucket_cap: int = 100_000,
-) -> DataFrame:
-    """(a, b, jaccard): all pairs with round(J, round_digits) >= threshold
-    over DISTINCT-element token arrays; exactly the blocked all-pairs
-    result, with prefix-filtered candidate generation.
-
-    ``round_digits`` matters for exactness at the boundary: the filter
+def _effective_threshold(threshold: float, round_digits: int | None) -> float:
+    """``round_digits`` matters for exactness at the boundary: the filter
     admits round(J, 4) >= t, so candidate generation must use the slightly
     lower effective threshold t - 0.5*10^-digits (a pair with true
-    J = t - 0.00004 still rounds IN). ``block_cols`` optionally restricts
-    pairs to equal-key blocks (conjunctive with the prefix filter).
-    ``bucket_cap``: prefix-token buckets larger than this are dropped
-    (surfaced nowhere here — pass a pre-deduplicated corpus, or audit with
-    a groupBy count; at web scale a hotter-than-cap prefix token means a
-    boilerplate gram that prunes nothing anyway).
-    """
+    J = t - 0.00004 still rounds IN)."""
     t_eff = threshold - (0.5 * 10.0 ** (-round_digits) if round_digits else 0.0)
     if not 0.0 < t_eff <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    blocks = list(block_cols or [])
+    return t_eff
 
+
+def _prefix_tokens(
+    d: DataFrame,
+    arr_col: str,
+    t_eff: float,
+    blocks: list[str],
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """(base, tokens): the normalized (id, distinct-array, size) table and
+    its exploded prefix tokens under the global (hash, token) order."""
     base = d.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(F.col(arr_col)).alias("_arr"),
         *[F.col(c).alias(f"_blk_{c}") for c in blocks],
     ).withColumn("_n", F.size("_arr"))
-
-    # Prefix tokens under the global (hash, token) order.
     ordered = F.transform(
         F.array_sort(
             F.transform("_arr", lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")))
@@ -90,6 +80,62 @@ def prefix_filtered_jaccard_pairs(
         *[f"_blk_{c}" for c in blocks],
         F.explode(F.slice(ordered, 1, prefix_len)).alias("_tok"),
     )
+    return base, tokens
+
+
+def dropped_prefix_buckets(
+    d: DataFrame,
+    arr_col: str,
+    threshold: float,
+    block_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    round_digits: int | None = 4,
+    bucket_cap: int = 100_000,
+) -> DataFrame:
+    """Prefix-token buckets excluded by ``bucket_cap`` — (_tok[, blocks],
+    n_members), the coverage diagnostic mirroring ``lsh.dropped_buckets``
+    and ``suffix.dropped_fingerprints``. A non-empty result means
+    ``prefix_filtered_jaccard_pairs`` with the same arguments is a LOWER
+    BOUND of the exact all-pairs result: a pair whose only shared prefix
+    token sits in a dropped bucket is lost. Raise ``bucket_cap`` or strip
+    the boilerplate token upstream."""
+    blocks = list(block_cols or [])
+    _, tokens = _prefix_tokens(
+        d, arr_col, _effective_threshold(threshold, round_digits), blocks, id_col
+    )
+    return (
+        tokens.groupBy("_tok", *[f"_blk_{c}" for c in blocks])
+        .agg(F.count("*").alias("n_members"))
+        .where(F.col("n_members") > bucket_cap)
+    )
+
+
+def prefix_filtered_jaccard_pairs(
+    d: DataFrame,
+    arr_col: str,
+    threshold: float,
+    block_cols: list[str] | None = None,
+    id_col: str = "doc_id",
+    round_digits: int | None = 4,
+    bucket_cap: int = 100_000,
+) -> DataFrame:
+    """(a, b, jaccard): all pairs with round(J, round_digits) >= threshold
+    over DISTINCT-element token arrays; equals the blocked all-pairs result
+    whenever ``dropped_prefix_buckets`` (same arguments) is EMPTY, with
+    prefix-filtered candidate generation.
+
+    ``block_cols`` optionally restricts pairs to equal-key blocks
+    (conjunctive with the prefix filter). ``bucket_cap``: prefix-token
+    buckets larger than this are dropped — under a non-empty
+    ``dropped_prefix_buckets`` the output is a lower bound (a pair whose
+    ONLY shared prefix token is a hotter-than-cap boilerplate token is
+    lost). Audit the cap with ``dropped_prefix_buckets`` before trusting
+    exactness, exactly like ``lsh.dropped_buckets`` /
+    ``suffix.dropped_fingerprints``.
+    """
+    t_eff = _effective_threshold(threshold, round_digits)
+    blocks = list(block_cols or [])
+    base, tokens = _prefix_tokens(d, arr_col, t_eff, blocks, id_col)
 
     bucket_keys = ["_tok", *[f"_blk_{c}" for c in blocks]]
     buckets = (

@@ -81,6 +81,67 @@ def test_forest_self_recall_topk(spark):
         assert abs(top - q) == 1, (q, hits)
 
 
+def test_forest_deepening_equals_full_enumeration_and_prunes(spark):
+    # Self-similar corpus (8 clusters x 6 near-identical sigs): iterative
+    # deepening must return EXACTLY the full-enumeration top-k (the early
+    # exit only skips pairs that cannot outrank the accumulated ones) while
+    # generating far fewer candidate rows than the all-pairs depth-1 join.
+    rng = np.random.RandomState(11)
+    base_sigs = rng.randint(0, 1 << 31, size=(8, 128))
+    rows = []
+    did = 0
+    for c in range(8):
+        for m in range(6):
+            sig = base_sigs[c].copy()
+            if m:
+                flip = rng.choice(128, size=m, replace=False)
+                sig[flip] = rng.randint(0, 1 << 31, size=m)
+            rows.append((did, [int(x) for x in sig]))
+            did += 1
+    sig_df = spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+    fcfg = ForestConfig(num_perm=128, l_trees=8)
+    prefixes = prefix_table(sig_df, fcfg)
+    queries = sig_df.where("doc_id % 6 = 0").withColumnRenamed(
+        "doc_id", "query_id"
+    )
+    diag = {}
+    res = topk_query(prefixes, queries, sig_df, fcfg, k=5, diagnostics=diag)
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["best_depth"], r["est_jaccard"])
+        for r in res.collect()
+    }
+
+    # Brute-force full enumeration with the same total order.
+    sigs = dict(rows)
+    expected = {}
+    for q in range(0, 48, 6):
+        scored = []
+        for d, s in sigs.items():
+            if d == q:
+                continue
+            eq = [a == b for a, b in zip(sigs[q], s)]
+            best = 0
+            for t in range(8):
+                run = 0
+                for v in eq[t * 16 : (t + 1) * 16]:
+                    if not v:
+                        break
+                    run += 1
+                best = max(best, run)
+            if best < 1:
+                continue
+            scored.append((-best, -sum(eq) / 128.0, d))
+        scored.sort()
+        for rank, (nb, ne, d) in enumerate(scored[:5], start=1):
+            expected[(q, rank)] = (d, -nb, -ne)
+    assert got == expected
+    # Pruning: every query satisfies at a deep round (cluster-mates match
+    # at or near full depth), so the hot shallow buckets are never probed.
+    n_all_pairs = 8 * 47
+    assert diag["candidate_rows"] < n_all_pairs / 2, diag
+    assert len(diag["rounds"]) < 5, diag  # early-exited before depth 1
+
+
 def test_ensemble_self_containment(spark):
     # reference test_lshensemble.py:24-44: sets {0..size-1}; querying each
     # indexed set with itself (containment 1.0) must return the key.

@@ -4,7 +4,10 @@ all-pairs (including the rounding boundary) on random corpora."""
 import numpy as np
 from pyspark.sql import functions as F
 
-from datasketch_spark.operators.setjoin import prefix_filtered_jaccard_pairs
+from datasketch_spark.operators.setjoin import (
+    dropped_prefix_buckets,
+    prefix_filtered_jaccard_pairs,
+)
 
 
 def _naive_pairs(rows, threshold, digits=4):
@@ -76,3 +79,28 @@ def test_prefix_join_no_blocks(spark):
         for r in prefix_filtered_jaccard_pairs(df, "toks", 0.9).collect()
     }
     assert got == {(1, 2, 1.0)}
+
+
+def test_prefix_join_cap_is_surfaced_not_silent(spark):
+    # Force a tiny cap: either the output is still exact OR the diagnostic
+    # is non-empty (the honest-lower-bound contract). Here the shared token
+    # "hot" is every pair's ONLY shared prefix token, so cap=1 both drops
+    # pairs AND reports the dropped bucket.
+    rows = [(i, ["hot", f"u{i}a", f"u{i}b", f"u{i}c"]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    t = 0.1  # J(any two) = 1/7 ~ 0.1429 >= t: exact all-pairs is non-empty
+    exact = {
+        (r["a"], r["b"])
+        for r in prefix_filtered_jaccard_pairs(df, "toks", t).collect()
+    }
+    assert len(exact) == 15  # all C(6,2) pairs share "hot"
+    capped = prefix_filtered_jaccard_pairs(df, "toks", t, bucket_cap=1)
+    dropped = dropped_prefix_buckets(df, "toks", t, bucket_cap=1)
+    got = {(r["a"], r["b"]) for r in capped.collect()}
+    dropped_rows = dropped.collect()
+    assert got == exact or len(dropped_rows) > 0
+    # And here specifically: pairs were lost and the hot bucket is named.
+    assert got != exact
+    assert any(r["_tok"] == "hot" for r in dropped_rows)
+    # With an ample cap the diagnostic is empty and output is exact.
+    assert dropped_prefix_buckets(df, "toks", t, bucket_cap=100).count() == 0
