@@ -281,6 +281,9 @@ def hnsw_topk(
     part = base.withColumn("pid", F.spark_partition_id())
 
     def _build_and_search(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # Deterministic insertion order: graph shape (and thus approximate
+        # results) must not depend on scan/split order within the partition.
+        pdf = pdf.sort_values("vec_id")
         index = HNSWIndex(distance, m=m, ef_construction=ef_construction)
         vecs = np.array(pdf["vec"].tolist(), dtype=np.float64)
         for vid, v in zip(pdf["vec_id"].tolist(), vecs):
