@@ -16,9 +16,19 @@ API parity with the reference:
   - ``HNSWIndex(distance_func=..., m=16, ef_construction=100)``
   - ``insert(key, point)`` / ``index[key] = point``   (hnsw.py:451-516)
   - ``query(point, k, ef)`` -> [(key, dist)] ascending (hnsw.py:662-704)
-  - ``__contains__/__len__/__getitem__/keys/items``
-  - ``remove(key)`` soft delete (hnsw.py:741+; hard deletes at scale are a
-    partition rebuild — documented, not pointer surgery)
+  - ``__contains__/__len__/__getitem__/keys/items/pop``
+  - ``remove(key, hard=False)`` soft/hard delete (hnsw.py:821-959): soft
+    marks the node (still navigable, never returned, no new in-edges);
+    hard additionally unlinks it and repairs every in-neighbor's edge list
+    with the same diversity pruning used at insert (the hnswlib-issue-4
+    local repair — candidates = survivor's neighbors + the removed node's
+    neighbors)
+  - ``clean()`` hard-removes all soft-deleted (hnsw.py:961-971)
+  - ``update(other)`` / ``merge(other)`` / ``copy()`` (hnsw.py:379-438,973+)
+
+``PartitionedHNSW`` below is the build-once/query-many Spark shape: the
+per-partition graphs are serialized into a persisted blob table so every
+query batch pays deserialize + search, never the O(n log n) insert work.
 
 Scale notes: the graph is executor-local state (never shuffled, never on
 the driver); partitions should be sized so points_per_partition x dim x 8
@@ -30,6 +40,7 @@ bucketing for corpus x corpus joins instead).
 from __future__ import annotations
 
 import heapq
+import pickle
 from typing import Callable, Hashable
 
 import numpy as np
@@ -37,7 +48,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
+    IntegerType,
     LongType,
     StructField,
     StructType,
@@ -90,6 +103,7 @@ class HNSWIndex:
         # _graph[level][key] -> {neighbor_key: distance}
         self._graph: list[dict[Hashable, dict[Hashable, float]]] = []
         self._entry: Hashable | None = None
+        self._top: int = -1
 
     # -- mapping surface ----------------------------------------------------
 
@@ -197,7 +211,10 @@ class HNSWIndex:
         for lv in range(min(level, self._top), -1, -1):
             cands = self._search_layer(point, ep, self.ef_construction, lv)
             cap = self.m0 if lv == 0 else self.m
-            nbrs = self._select_neighbors(point, cands, cap)
+            # Soft-deleted nodes stay navigable but must not gain new
+            # in-edges (reference remove contract, hnsw.py:832-836).
+            live = [(d, kk) for d, kk in cands if kk not in self._deleted]
+            nbrs = self._select_neighbors(point, live, cap)
             self._graph[lv][key] = nbrs
             for nbr, d in nbrs.items():
                 self._graph[lv][nbr][key] = d
@@ -224,12 +241,128 @@ class HNSWIndex:
         live = [(d, key) for d, key in found if key not in self._deleted]
         return [(key, d) for d, key in sorted(live)[:k]]
 
-    def remove(self, key: Hashable) -> None:
-        """Soft delete: excluded from results, still navigable (reference
-        soft remove, hnsw.py:741+). Reclaim space by rebuilding."""
-        if key not in self._points or key in self._deleted:
+    def remove(self, key: Hashable, hard: bool = False) -> None:
+        """Soft or hard delete (reference ``HNSW.remove``, hnsw.py:821-959).
+
+        Soft (default): mark the node removed — never returned, gains no
+        new in-edges, still used for traversal. Repeated soft removes of a
+        still-present key are no-ops (reference contract). Hard: also
+        unlink the node — every in-neighbor's edge list is repaired with
+        the insert-time diversity pruning over (its surviving neighbors +
+        the removed node's neighbors), then the node is deleted; a second
+        hard remove raises KeyError. If the removed key is the entry
+        point, the entry is re-assigned to a live node in the highest
+        non-empty layer (empty top layers are popped); removing the last
+        live node clears the index.
+        """
+        if not self._points or key not in self._points:
             raise KeyError(key)
+        if self._entry == key:
+            new_entry = None
+            while self._graph:
+                layer = self._graph[-1]
+                new_entry = next(
+                    (p for p in layer if p != key and p not in self._deleted),
+                    None,
+                )
+                if new_entry is not None:
+                    break
+                self._graph.pop()
+            self._top = len(self._graph) - 1
+            if new_entry is None:
+                self.clear()
+                return
+            self._entry = new_entry
         self._deleted.add(key)
+        if not hard:
+            return
+        # Hard remove: unlink, then repair the whole affected neighborhood
+        # (in-neighbors AND out-neighbors of the removed node) with the
+        # insert-time pruning INCLUDING reciprocal edges — without the
+        # reciprocals a node whose only in-edges ran through removed nodes
+        # would become unreachable (in-degree 0).
+        for lv, layer in enumerate(self._graph):
+            if key not in layer:
+                continue
+            key_nbrs = set(layer[key])
+            cap = self.m0 if lv == 0 else self.m
+            in_nbrs = {u for u, nbrs in layer.items() if key in nbrs and u != key}
+            del layer[key]
+            for u in in_nbrs:
+                layer[u].pop(key, None)
+            affected = in_nbrs | key_nbrs
+            for w in affected:
+                pw = self._points[w]
+                cand_keys = {
+                    c
+                    for c in (set(layer[w]) | key_nbrs | affected)
+                    if c != w and c in layer and c not in self._deleted
+                }
+                cands = [
+                    (self.distance(pw, self._points[c]), c) for c in cand_keys
+                ]
+                new_nbrs = self._select_neighbors(pw, cands, cap)
+                layer[w] = new_nbrs
+                if w in self._deleted:
+                    continue  # soft-deleted nodes gain no new in-edges
+                for c, d in new_nbrs.items():
+                    layer[c][w] = d
+                    self._shrink(c, lv)
+        del self._points[key]
+        self._deleted.discard(key)
+
+    def pop(self, key: Hashable, hard: bool = False) -> np.ndarray:
+        """Remove and return the point; unlike ``remove``, raises on a key
+        that was already soft-removed (reference ``HNSW.pop``)."""
+        if key not in self:
+            raise KeyError(key)
+        point = self._points[key]
+        self.remove(key, hard=hard)
+        return point
+
+    def __delitem__(self, key: Hashable) -> None:
+        self.remove(key)
+
+    def clean(self) -> None:
+        """Hard-remove every soft-removed point (reference ``HNSW.clean``)."""
+        for key in list(self._deleted):
+            self.remove(key, hard=True)
+
+    def clear(self) -> None:
+        self._points = {}
+        self._deleted = set()
+        self._graph = []
+        self._entry = None
+        self._top = -1
+
+    def copy(self) -> "HNSWIndex":
+        """Independent copy: graph and bookkeeping are deep-copied (point
+        arrays are shared — they are never mutated in place), RNG state
+        cloned (reference ``HNSW.copy``)."""
+        new = HNSWIndex(self.distance, m=self.m, ef_construction=self.ef_construction)
+        new._rng.set_state(self._rng.get_state())
+        new._points = dict(self._points)
+        new._deleted = set(self._deleted)
+        new._graph = [
+            {k: dict(nbrs) for k, nbrs in layer.items()} for layer in self._graph
+        ]
+        new._entry = self._entry
+        new._top = self._top
+        return new
+
+    def update(self, other) -> None:
+        """Insert every (key, point) from a Mapping or another index;
+        existing keys are overwritten (reference ``HNSW.update``)."""
+        items = other.items() if hasattr(other, "items") else other
+        for key, point in items:
+            self.insert(key, point)
+
+    def merge(self, other: "HNSWIndex") -> "HNSWIndex":
+        """New index = copy of self + all points of other (other's points
+        win on key collision) — reference ``HNSW.merge`` (hnsw.py:973+)."""
+        new = self.copy()
+        new.update(other)
+        return new
 
 
 # ---------------------------------------------------------------------------
@@ -309,3 +442,113 @@ def hnsw_topk(
         per_part.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+_BLOB_SCHEMA = StructType(
+    [
+        StructField("pid", IntegerType(), False),
+        StructField("n_points", LongType(), False),
+        StructField("blob", BinaryType(), False),
+    ]
+)
+
+
+class PartitionedHNSW:
+    """Build-once / query-many partitioned HNSW.
+
+    ``hnsw_topk`` rebuilds every per-partition graph on every call — right
+    for a one-shot query, wrong shape for repeated batches. This class
+    builds each partition's graph ONCE inside an ``applyInPandas`` task,
+    serializes it (pickle; the graph is plain dicts + numpy arrays), and
+    persists the resulting (pid, blob) table. Every subsequent ``query``
+    is a ``mapInPandas`` over the cached blobs: deserialize + search —
+    O(log n)-ish per probe — never the O(n log n) insert work.
+
+    Scale notes: one blob per partition; size ~ points_per_partition x
+    (dim x 8B + graph edges). Partitions must be sized so a blob fits an
+    executor task comfortably (same constraint the build already had).
+    The query batch ships via the UDF closure — the standard small-probe
+    contract shared with ``hnsw_topk``.
+    """
+
+    def __init__(
+        self,
+        vectors: DataFrame,
+        distance: str = "l2",
+        m: int = 16,
+        ef_construction: int = 100,
+        n_partitions: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        self._distance = distance
+        base = vectors.select(
+            F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
+        )
+        if n_partitions:
+            base = base.repartition(n_partitions, "vec_id")
+        part = base.withColumn("pid", F.spark_partition_id())
+
+        def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("vec_id")
+            index = HNSWIndex(distance, m=m, ef_construction=ef_construction)
+            vecs = np.array(pdf["vec"].tolist(), dtype=np.float64)
+            for vid, v in zip(pdf["vec_id"].tolist(), vecs):
+                index.insert(int(vid), v)
+            return pd.DataFrame(
+                {
+                    "pid": [int(key[0])],
+                    "n_points": [len(index)],
+                    "blob": [pickle.dumps(index, protocol=pickle.HIGHEST_PROTOCOL)],
+                }
+            )
+
+        self.blobs = part.groupBy("pid").applyInPandas(_build, _BLOB_SCHEMA).persist()
+        self.n_points = int(
+            self.blobs.agg(F.sum("n_points")).collect()[0][0] or 0
+        )  # materializes the build exactly once
+
+    def query(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        ef_search: int | None = None,
+        query_id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        exclude_self: bool = True,
+    ) -> DataFrame:
+        """(query_id, neighbor_id, dist, rank): global top-k over the
+        prebuilt partition graphs (same output contract as ``hnsw_topk``)."""
+        q_rows = queries.select(
+            F.col(query_id_col).cast("long"), F.col(vec_col)
+        ).collect()
+        q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+        q_vecs = np.array([r[1] for r in q_rows], dtype=np.float64)
+        kk = k + 1 if exclude_self else k
+
+        def _search(batches):
+            for pdf in batches:
+                out_q, out_n, out_d = [], [], []
+                for blob in pdf["blob"]:
+                    index = pickle.loads(blob)
+                    for qid, qv in zip(q_ids, q_vecs):
+                        for nid, d in index.query(qv, kk, ef_search):
+                            if exclude_self and nid == qid:
+                                continue
+                            out_q.append(int(qid))
+                            out_n.append(int(nid))
+                            out_d.append(float(d))
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "dist": out_d}
+                )
+
+        per_part = self.blobs.mapInPandas(_search, _OUT_SCHEMA)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        return per_part.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+
+    def unpersist(self) -> None:
+        self.blobs.unpersist()

@@ -6,6 +6,7 @@ import pytest
 
 from datasketch_spark.operators.hnsw import (
     HNSWIndex,
+    PartitionedHNSW,
     cosine_distance,
     hnsw_topk,
     l2_distance,
@@ -69,8 +70,12 @@ def test_hnsw_update_and_soft_remove():
     assert 5 not in idx
     assert len(idx) == 29
     assert idx.query(pts[5], k=1)[0][0] != 5
+    # Repeated soft remove of a still-present key is a no-op (reference
+    # remove contract); an absent key raises.
+    idx.remove(5)
+    assert len(idx) == 29
     with pytest.raises(KeyError):
-        idx.remove(5)
+        idx.remove(999)
     # Update-in-place: new vector wins.
     idx[7] = pts[8] + 1e-9
     got = idx.query(pts[8], k=2)
@@ -88,6 +93,124 @@ def test_hnsw_cosine_distance_mode():
     res = idx.query(pts[3], k=2)
     assert {key for key, _ in res} == {3, 1000}
     assert res[0][1] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_hnsw_soft_remove_pop_clean():
+    # reference test_hnsw.py::test_soft_remove_and_pop_and_clean analogue.
+    rng = np.random.RandomState(5)
+    pts = rng.rand(40, 6)
+    idx = HNSWIndex(l2_distance, m=8, ef_construction=64)
+    idx.update({i: p for i, p in enumerate(pts)})
+    assert len(idx) == 40
+    idx.remove(0)
+    idx.remove(0)
+    idx.remove(0)  # repeated soft removes: no-ops
+    assert 0 not in idx and len(idx) == 39
+    with pytest.raises(KeyError):
+        idx.pop(0)  # pop always raises on an already-removed key
+    p1 = idx.pop(1)
+    assert np.array_equal(p1, pts[1])
+    assert 1 not in idx and len(idx) == 38
+    for qi in range(2, 8):
+        got = {key for key, _ in idx.query(pts[qi], k=5)}
+        assert 0 not in got and 1 not in got
+        assert qi in got
+    # clean() hard-removes the soft-removed points; graph stays navigable.
+    idx.clean()
+    assert len(idx) == 38
+    with pytest.raises(KeyError):
+        idx.remove(0)  # now hard-removed
+    assert idx.query(pts[2], k=1)[0][0] == 2
+
+
+def test_hnsw_hard_remove_and_clear_on_last():
+    # reference test_hnsw.py::test_hard_remove_and_pop_and_clean analogue.
+    rng = np.random.RandomState(6)
+    pts = rng.rand(25, 5)
+    idx = HNSWIndex(l2_distance, m=8, ef_construction=64)
+    idx.update({i: p for i, p in enumerate(pts)})
+    for i in range(10):
+        idx.remove(i, hard=True)
+        assert i not in idx
+        with pytest.raises(KeyError):
+            idx.remove(i, hard=True)  # second hard remove raises
+    assert len(idx) == 15
+    # Graph repair keeps the survivors navigable and exact on this scale.
+    for qi in range(10, 20):
+        assert idx.query(pts[qi], k=1)[0][0] == qi
+    truth = _brute_topk(pts[10:], pts[12], 5)
+    got = [key for key, _ in idx.query(pts[12], k=5)]
+    assert len(set(t + 10 for t in truth) & set(got)) >= 4
+    # Removing down to the last point clears the index entirely.
+    for i in range(10, 25):
+        idx.remove(i, hard=True)
+    assert len(idx) == 0
+    assert idx.query(pts[0], k=3) == []
+    # And the cleared index is reusable.
+    idx.insert(100, pts[0])
+    assert idx.query(pts[0], k=1)[0][0] == 100
+
+
+def test_hnsw_merge_update_copy_pickle():
+    # reference test_hnsw.py::test_merge/test_copy/test_pickle analogues.
+    import pickle
+
+    rng = np.random.RandomState(7)
+    d1, d2 = rng.rand(30, 6), rng.rand(30, 6)
+    idx1 = HNSWIndex(l2_distance, m=8, ef_construction=64)
+    idx1.update({i: p for i, p in enumerate(d1)})
+    idx2 = HNSWIndex(l2_distance, m=8, ef_construction=64)
+    idx2.update({i + 30: p for i, p in enumerate(d2)})
+    merged = idx1.merge(idx2)
+    assert len(merged) == 60 and len(idx1) == 30  # self untouched
+    assert merged.query(d1[3], k=1)[0][0] == 3
+    assert merged.query(d2[4], k=1)[0][0] == 34
+    # copy(): independent state.
+    cp = idx1.copy()
+    cp.remove(0)
+    assert 0 in idx1 and 0 not in cp
+    cp.insert(999, d2[0])
+    assert 999 not in idx1
+    # pickle round-trip preserves query behavior.
+    idx3 = pickle.loads(pickle.dumps(idx1))
+    for qi in range(5):
+        assert idx3.query(d1[qi], k=3) == idx1.query(d1[qi], k=3)
+
+
+def test_partitioned_hnsw_build_once_query_many(spark):
+    # PartitionedHNSW must reproduce hnsw_topk exactly (same seed + sorted
+    # insertion order -> identical per-partition graphs) and serve multiple
+    # query batches from the same persisted blobs.
+    rng = np.random.RandomState(8)
+    n, dim, k = 300, 12, 5
+    pts = rng.rand(n, dim)
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    pidx = PartitionedHNSW(df, m=16, ef_construction=100, n_partitions=4)
+    assert pidx.n_points == n
+    q1 = df.where("vec_id < 10")
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in pidx.query(q1, k=k).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in hnsw_topk(
+            df, q1, k=k, m=16, ef_construction=100, n_partitions=4
+        ).collect()
+    )
+    assert got == want
+    # A second, different batch against the SAME prebuilt blobs.
+    rows2 = pidx.query(df.where("vec_id >= 290"), k=3).collect()
+    by_q = {}
+    for r in rows2:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == set(range(290, 300))
+    for qid, nbrs in by_q.items():
+        truth = set(_brute_topk(pts, pts[qid], 3, exclude=qid))
+        assert len(truth & set(nbrs)) >= 2
+    pidx.unpersist()
 
 
 def test_hnsw_topk_distributed_recall(spark):
