@@ -73,6 +73,35 @@ def make_deserialize_udf():
     return lean_deserialize
 
 
+def hll_bytes(p: int, registers) -> bytes:
+    """Reference ``HyperLogLog.serialize`` layout (hyperloglog.py:270-288):
+    one unsigned byte ``p`` followed by m = 2^p unsigned register bytes
+    (``struct.pack('B%dB' % m, p, *reg)``). ``registers`` may be a dense
+    length-m array or a sparse {idx: rank} mapping (absent = 0)."""
+    m = 1 << p
+    reg = np.zeros(m, dtype=np.uint8)
+    if hasattr(registers, "items"):
+        for idx, r in registers.items():
+            reg[int(idx)] = int(r)
+    else:
+        arr = np.asarray(registers)
+        if len(arr) != m:
+            raise ValueError(f"expected {m} registers for p={p}, got {len(arr)}")
+        reg[:] = arr.astype(np.uint8)
+    return bytes([p]) + reg.tobytes()
+
+
+def hll_from_bytes(data: bytes) -> tuple[int, np.ndarray]:
+    """Inverse of ``hll_bytes`` — also reads buffers produced by the
+    reference's ``serialize``/``__getstate__``. Returns (p, registers as
+    int8 array, the reference's in-memory dtype)."""
+    p = int(data[0])
+    m = 1 << p
+    if len(data) < 1 + m:
+        raise ValueError(f"buffer too short for p={p}: {len(data)} < {1 + m}")
+    return p, np.frombuffer(data, dtype=np.uint8, count=m, offset=1).astype(np.int8)
+
+
 def make_seed_extract_udf():
     @F.pandas_udf(LongType())
     def lean_seed(bufs: pd.Series) -> pd.Series:

@@ -12,6 +12,7 @@ parameterization.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -96,6 +97,63 @@ def md5_hash32_col(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
 
 
+def hll_registers(
+    df: DataFrame, value_col: str, p: int = 8, hash32: Column | None = None
+) -> DataFrame:
+    """(idx, reg): the reference's SPARSE register table — idx = hv & (m-1),
+    reg = max over values of rank = (32 - p) - bit_length(hv >> p) + 1
+    (``hyperloglog.py:134-142``); absent idx means register 0. This is the
+    engine's distributed HLL state; export it to the reference's byte
+    layout with ``hll_export_bytes`` (m rows max — always driver-safe)."""
+    m = 1 << p
+    max_rank = 32 - p
+    hv = hash32 if hash32 is not None else sha1_hash32_col(value_col)
+    bits = F.shiftrightunsigned(F.col("hv"), p)
+    rank = F.when(bits == 0, F.lit(max_rank + 1)).otherwise(
+        F.lit(max_rank + 1) - F.length(F.bin(bits))
+    )
+    return (
+        df.select(hv.alias("hv"))
+        .select(F.col("hv").bitwiseAND(F.lit(m - 1)).alias("idx"), rank.alias("r"))
+        .groupBy("idx")
+        .agg(F.max("r").alias("reg"))
+    )
+
+
+def hll_export_bytes(regs: DataFrame, p: int) -> bytes:
+    """Serialize a register table to the reference's byte layout
+    (``hyperloglog.py:270-288``) — byte-compatible with
+    ``HyperLogLog.deserialize``, so sketches built here interoperate with
+    stored reference sketches. The collect is bounded at m = 2^p rows."""
+    from datasketch_spark.functions.serialize import hll_bytes
+
+    return hll_bytes(p, {r["idx"]: r["reg"] for r in regs.collect()})
+
+
+def hll_count_from_bytes(data: bytes) -> float:
+    """Driver-side reference-parity estimate for an imported sketch buffer
+    (reference ``count``, ``hyperloglog.py:144-168``): alpha * m^2 /
+    sum(2^-reg) with linear counting below 2.5m and the large-range
+    correction. Use to count sketches migrated FROM the reference."""
+    from datasketch_spark.functions.serialize import hll_from_bytes
+
+    p, reg = hll_from_bytes(data)
+    m = 1 << p
+    e = (
+        reference_alpha(p)
+        * float(m * m)
+        / float(np.sum(np.power(2.0, -reg.astype(np.float64))))
+    )
+    if e <= 2.5 * m:
+        n_zero = int(np.count_nonzero(reg == 0))
+        if n_zero > 0:
+            return float(m * np.log(m / float(n_zero)))
+        return e
+    if e <= (1 << 32) / 30.0:
+        return e
+    return float(-(1 << 32) * np.log(1.0 - e / (1 << 32)))
+
+
 def hll_count_reference(
     df: DataFrame, value_col: str, p: int = 8, hash32: Column | None = None
 ) -> DataFrame:
@@ -116,19 +174,8 @@ def hll_count_reference(
     estimate instead. Unreachable for sanely-sized p.
     """
     m = 1 << p
-    max_rank = 32 - p
     alpha = reference_alpha(p)
-    hv = hash32 if hash32 is not None else sha1_hash32_col(value_col)
-    bits = F.shiftrightunsigned(F.col("hv"), p)
-    rank = F.when(bits == 0, F.lit(max_rank + 1)).otherwise(
-        F.lit(max_rank + 1) - F.length(F.bin(bits))
-    )
-    regs = (
-        df.select(hv.alias("hv"))
-        .select(F.col("hv").bitwiseAND(F.lit(m - 1)).alias("idx"), rank.alias("r"))
-        .groupBy("idx")
-        .agg(F.max("r").alias("reg"))
-    )
+    regs = hll_registers(df, value_col, p, hash32)
     stats = regs.agg(
         F.count("*").alias("n_present"),
         # coalesce: on an EMPTY input sum() is NULL; 0.0 keeps the empty

@@ -470,3 +470,13 @@ def test_hll_count_reference_parity(spark):
         0
     ]["hll_estimate"]
     assert abs(got - float(expected)) < 1e-9, (got, expected)
+
+
+def test_hll_count_reference_empty_input(spark):
+    # Empty input -> empty register table -> linear counting m*ln(m/m) = 0.0
+    # (reference fresh-sketch behavior); the harmonic sum coalesces to 0.
+    from datasketch_spark.operators.hll import hll_count_reference
+
+    empty = spark.createDataFrame([], "word string")
+    got = hll_count_reference(empty, "word", p=8).collect()
+    assert len(got) == 1 and got[0]["hll_estimate"] == 0.0

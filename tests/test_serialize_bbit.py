@@ -150,3 +150,45 @@ def test_bbit_jaccard_r0_parity_with_reference(spark):
             ).alias("j")
         ).collect()[0]["j"]
         assert abs(got - float(expected)) < 1e-12, (b, got, expected)
+
+
+def test_hll_codec_reference_roundtrip(spark):
+    # Byte-identical interop with the reference's serialize/deserialize
+    # layout (hyperloglog.py:270-301): p byte + 2^p register bytes.
+    from tests.refload import load_reference_module
+
+    from datasketch_spark.functions.serialize import hll_bytes, hll_from_bytes
+    from datasketch_spark.operators.hll import (
+        hll_count_from_bytes,
+        hll_export_bytes,
+        hll_registers,
+    )
+
+    hyperloglog = load_reference_module("hyperloglog")
+    ref = hyperloglog.HyperLogLog(p=8)
+    words = [f"word{i}" for i in range(500)]
+    for w in words:
+        ref.update(w.encode("utf8"))
+    buf = bytearray(ref.bytesize())
+    ref.serialize(buf)
+    buf = bytes(buf)
+
+    # Export: Spark-built registers over the same values (default
+    # sha1_hash32 = the reference's default hashfunc) -> identical bytes.
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    regs = hll_registers(df, "word", p=8)
+    assert hll_export_bytes(regs, 8) == buf
+
+    # Import: the reference buffer decodes to the reference's registers
+    # and counts to the reference's own estimate, exactly.
+    p, reg = hll_from_bytes(buf)
+    assert p == 8
+    assert np.array_equal(reg, ref.reg)
+    assert hll_count_from_bytes(buf) == pytest.approx(ref.count(), abs=1e-9)
+
+    # And the reference can read OUR bytes (deserialize round-trip).
+    ref2 = hyperloglog.HyperLogLog.deserialize(hll_export_bytes(regs, 8))
+    assert ref2 == ref
+
+    # Empty sketch: linear counting yields exactly 0.0.
+    assert hll_count_from_bytes(hll_bytes(8, np.zeros(256))) == 0.0
