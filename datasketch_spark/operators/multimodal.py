@@ -3,11 +3,12 @@ with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 
 Decode support is tiered by what this environment can actually do:
   - REAL decoders with zero external codecs: uncompressed BMP images
-    (pure-numpy header parse + pixel view) and PCM WAV audio (stdlib
-    ``wave``), feeding real feature kernels (block-mean image grid /
-    RMS + zero-crossings + spectral shape for audio).
-  - Compressed formats (JPEG/PNG/MP3/MP4) need codec libraries NOT in
-    this environment: those raise NotImplementedError naming the
+    (pure-numpy header parse + pixel view), non-interlaced 8-bit PNG
+    (chunk parse + stdlib zlib inflate + numpy scanline unfilter), and
+    PCM WAV audio (stdlib ``wave``), feeding real feature kernels
+    (block-mean image grid / RMS + zero-crossings + spectral shape).
+  - Formats that genuinely need codec libraries absent here (JPEG's DCT
+    entropy coding, MP3/MP4): those raise NotImplementedError naming the
     dependency, and the seeded ``deterministic_fake`` stand-in keeps the
     Spark-side plumbing — schema, batching, partitioning, UDF
     signatures — testable end-to-end.
@@ -24,6 +25,7 @@ import hashlib
 import io as _io
 import struct
 import wave
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -98,6 +100,107 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         px = px[::-1]
     # BGR(A) -> RGB
     return np.ascontiguousarray(px[:, :, 2::-1])
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG -> (H, W, 3) uint8 RGB with no external
+    codec: chunk walk (IHDR/IDAT/IEND), stdlib zlib inflate, and scanline
+    unfiltering (filter types 0-4 per the PNG spec). Gray and alpha
+    variants are normalized to RGB (alpha dropped, gray replicated).
+    Raises NotImplementedError for interlaced/16-bit/paletted PNGs and
+    ValueError for malformed payloads.
+    """
+    if payload is None or len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if pos + 12 + clen > len(payload):
+            raise ValueError("truncated PNG chunk")
+        data = payload[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None or depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB(A) PNG supported (depth="
+            f"{depth}, color_type={color_type}, interlace={interlace}); "
+            "paletted/16-bit/interlaced need pillow"
+        )
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanline data")
+    arr = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters = arr[:, 0]
+    lines = arr[:, 1:].astype(np.int32)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    zero = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        line = lines[y]
+        prior = recon[y - 1].astype(np.int32) if y > 0 else zero
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up: fully vectorized
+            rec = line + prior
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: left-dependency scan
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                up = int(prior[x])
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) >> 1
+                else:
+                    ul = int(prior[x - bpp]) if x >= bpp else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                rec[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        recon[y] = (rec & 0xFF).astype(np.uint8)
+    px = recon.reshape(h, w, channels)
+    if channels >= 3:
+        rgb = px[:, :, :3]
+    else:  # gray / gray+alpha -> replicate luminance
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(rgb)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch on magic bytes: BMP and PNG decode for real; formats whose
+    codecs are genuinely absent here (JPEG/GIF/WebP/TIFF) raise
+    NotImplementedError naming the dependency."""
+    if payload is None or len(payload) < 8:
+        raise ValueError("not an image payload")
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "JPEG/GIF/WebP/TIFF need pillow; only BMP and non-interlaced "
+        "8-bit PNG decode codec-free"
+    )
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -221,11 +324,11 @@ REAL_FEATURES_SCHEMA = StructType(
 
 
 def image_features(media: DataFrame, grid: int = 8) -> DataFrame:
-    """REAL image feature extraction for uncompressed BMP payloads:
+    """REAL image feature extraction for BMP and PNG payloads:
     (media_id, feature[grid*grid] luminance block-means, status).
 
     Undecodable payloads yield a null feature + status naming the reason —
-    a 100TB run must quarantine bad rows, not die on them. Compressed
+    a 100TB run must quarantine bad rows, not die on them. Codec-requiring
     formats report 'NotImplementedError: ... pillow'."""
 
     def _extract(batches):
@@ -234,9 +337,9 @@ def image_features(media: DataFrame, grid: int = 8) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 ids.append(mid)
                 try:
-                    feats.append(image_grid_feature(decode_bmp(p), grid).tolist())
+                    feats.append(image_grid_feature(decode_image(p), grid).tolist())
                     status.append("ok")
-                except (ValueError, NotImplementedError, struct.error) as e:
+                except (ValueError, NotImplementedError, struct.error, zlib.error) as e:
                     feats.append(None)
                     status.append(f"{type(e).__name__}: {e}"[:120])
             yield pd.DataFrame(

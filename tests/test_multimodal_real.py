@@ -12,6 +12,8 @@ from datasketch_spark.operators.multimodal import (
     audio_feature,
     audio_features,
     decode_bmp,
+    decode_image,
+    decode_png,
     decode_wav,
     image_features,
     image_grid_feature,
@@ -95,7 +97,8 @@ def test_real_feature_operators_with_quarantine(spark):
     assert rows[1]["status"] == "ok" and len(rows[1]["feature"]) == 16
     assert rows[2]["status"] == "ok"
     assert rows[1]["feature"] != rows[2]["feature"]
-    assert rows[3]["feature"] is None and "ValueError" in rows[3]["status"]
+    assert rows[3]["feature"] is None
+    assert "NotImplementedError" in rows[3]["status"] and "pillow" in rows[3]["status"]
     assert rows[4]["feature"] is None
 
     tone = encode_wav(0.3 * np.sin(np.linspace(0, 700, 4000)))
@@ -105,3 +108,109 @@ def test_real_feature_operators_with_quarantine(spark):
     arows = {r["media_id"]: r for r in audio_features(audio).collect()}
     assert arows[10]["status"] == "ok" and len(arows[10]["feature"]) == 16
     assert arows[11]["feature"] is None and arows[11]["status"]
+
+
+def encode_png(px: np.ndarray, color_type: int = 2, filters=None) -> bytes:
+    """Minimal stdlib PNG writer (test-side oracle): 8-bit, per-row filter
+    types chosen to exercise every unfilter path (0=None 1=Sub 2=Up
+    3=Average 4=Paeth)."""
+    import zlib
+
+    h, w = px.shape[:2]
+    channels = px.shape[2] if px.ndim == 3 else 1
+    bpp = channels
+    flat = px.reshape(h, w * channels).astype(np.int32)
+    filters = filters if filters is not None else [y % 5 for y in range(h)]
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        line, f = flat[y], filters[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - ((left + prev) >> 1)
+        else:
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = line - pred
+        raw += bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_filters():
+    rng = np.random.RandomState(42)
+    px = rng.randint(0, 256, size=(16, 12, 3)).astype(np.uint8)
+    # Cycle filters 0-4 across rows: every unfilter path exercised.
+    data = encode_png(px, color_type=2)
+    got = decode_png(data)
+    assert got.shape == (16, 12, 3)
+    assert np.array_equal(got, px)
+    # Single-filter encodes must agree too.
+    for f in range(5):
+        assert np.array_equal(decode_png(encode_png(px, 2, [f] * 16)), px)
+
+
+def test_png_gray_and_alpha_normalized_to_rgb():
+    rng = np.random.RandomState(43)
+    gray = rng.randint(0, 256, size=(8, 9, 1)).astype(np.uint8)
+    got = decode_png(encode_png(gray, color_type=0))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+    rgba = rng.randint(0, 256, size=(8, 9, 4)).astype(np.uint8)
+    got = decode_png(encode_png(rgba, color_type=6))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_png_rejects_unsupported_variants():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_png(px))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nxxxx")  # truncated chunks
+    # Flip interlace byte inside IHDR (offset: 8 sig + 8 chunk hdr + 12).
+    bad = bytearray(data)
+    bad[8 + 8 + 12] = 1
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(bad))
+    # 16-bit depth.
+    bad = bytearray(data)
+    bad[8 + 8 + 8] = 16
+    with pytest.raises(NotImplementedError):
+        decode_png(bytes(bad))
+    # decode_image dispatch: BMP/PNG real, JPEG named as needing pillow.
+    assert decode_image(encode_png(px)).shape == (4, 4, 3)
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(b"\xff\xd8\xff\xe0JFIFxxxx")
+
+
+def test_image_features_decodes_png_rows(spark):
+    png = encode_png(np.full((8, 8, 3), 120, dtype=np.uint8), 2)
+    bmp = encode_bmp(np.full((8, 8, 3), 120, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, png), (2, bmp)], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in image_features(media, grid=4).collect()}
+    assert rows[1]["status"] == "ok" and rows[2]["status"] == "ok"
+    # Same pixels through either container -> identical features.
+    assert rows[1]["feature"] == rows[2]["feature"]
