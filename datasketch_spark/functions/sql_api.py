@@ -17,11 +17,13 @@ the same capabilities callable from plain SQL,
     ''')
     spark.sql("SELECT minhash_jaccard(a.sig, b.sig) FROM ...")
 
-Every registered function is an Arrow-batched pandas UDF (vectorized over
-batches, never row-at-a-time Python). For hot paths prefer the native
-column expressions (``jaccard_col``/``langid_col``/... stay inside
-whole-stage codegen); this layer trades one Arrow boundary for SQL
-ergonomics, exactly like the signature UDF itself.
+Functions whose semantics are pure expressions register as SQL SCALAR
+FUNCTIONS (``CREATE FUNCTION ... RETURN expr`` — inlined into whole-stage
+codegen, zero Python): ``lang_id``. The rest are Arrow-batched pandas
+UDFs (vectorized over batches, never row-at-a-time Python). For hot paths
+prefer the native column expressions (``jaccard_col``/``langid_col``/...);
+the pandas-UDF layer trades one Arrow boundary for SQL ergonomics,
+exactly like the signature UDF itself.
 """
 
 from __future__ import annotations
@@ -84,20 +86,28 @@ def register_sql(
     spark.udf.register(f"{prefix}minhash_merge", _merge)
     spark.udf.register(f"{prefix}minhash_count", _count)
 
-    stop = {k: frozenset(v) for k, v in LANG_STOPWORDS.items()}
-
-    @F.pandas_udf(StringType())
-    def _lang_id(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            words = set((t or "").split())
-            best, best_s = "und", 0
-            for lang in LANG_PRIORITY:
-                s = len(words & stop[lang])
-                if s > best_s:
-                    best, best_s = lang, s
-            out.append(best)
-        return pd.Series(out)
+    # lang_id is registered as a SQL SCALAR FUNCTION (CREATE ... RETURN
+    # expr), not a pandas UDF: the body is the exact langid_col semantics
+    # (argmax of per-language distinct-stopword hits, LANG_PRIORITY
+    # tie-break via a lexicographic struct max), and Spark inlines it into
+    # whole-stage codegen — no Arrow boundary, no per-row Python.
+    words_sql = r"array_distinct(filter(split(trim(t), '\\s+'), x -> x != ''))"
+    score_structs = ", ".join(
+        "named_struct('s', size(array_intersect({words}, array({sw}))), "
+        "'pr', {pr}, 'l', '{lang}')".format(
+            words=words_sql,
+            sw=", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]),
+            pr=len(LANG_PRIORITY) - i,
+            lang=lang,
+        )
+        for i, lang in enumerate(LANG_PRIORITY)
+    )
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {prefix}lang_id(t STRING) "
+        f"RETURNS STRING RETURN "
+        f"if(array_max(array({score_structs})).s > 0, "
+        f"array_max(array({score_structs})).l, 'und')"
+    )
 
     @F.pandas_udf(StringType())
     def _fingerprint(texts: pd.Series) -> pd.Series:
@@ -112,6 +122,5 @@ def register_sql(
     def _token_count(texts: pd.Series) -> pd.Series:
         return texts.fillna("").str.split().str.len().astype("int32")
 
-    spark.udf.register(f"{prefix}lang_id", _lang_id)
     spark.udf.register(f"{prefix}doc_fingerprint", _fingerprint)
     spark.udf.register(f"{prefix}token_count", _token_count)

@@ -52,6 +52,16 @@ def test_sql_api_matches_dataframe_api(spark):
         assert r["fp"] == want_rest[d]["fp"], d
         assert r["n"] == want_rest[d]["n"], d
 
+    # lang_id is a SQL scalar function inlined into codegen: the plan must
+    # contain no Arrow/Python eval for it (VERDICT r2 #8).
+    plan = (
+        spark.sql("SELECT lang_id(text) FROM sql_api_docs")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEval" not in plan and "BatchEval" not in plan, plan
+
     # Sketch algebra through SQL.
     alg = spark.sql(
         """
