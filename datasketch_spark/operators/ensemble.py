@@ -232,6 +232,33 @@ def optimal_size_partitions(
     return optimal_partitions(sizes, counts, num_part)
 
 
+def reachable_bands_per_partition(
+    ecfg: EnsembleConfig, partitions: list[tuple[int, int]]
+) -> list[dict[int, int]]:
+    """Per partition, {r: max probe-able band count} over the REACHABLE
+    xq-grid entries. Two prunes compose here:
+
+    - Ratio ceiling: a query of size q >= 1 probes partition (upper bound
+      U) at ratio U/q <= U, so only grid indices {0..searchsorted(xqs, U)}
+      are selectable for that partition; unreachable entries' r's need no
+      bands at all.
+    - First-b-bands cap: every probe filters band_idx < b (the
+      reference's first-b-bands semantics), so materializing more than
+      max-reachable-b bands for an r is pure waste — e.g. when r=8 is only
+      ever selected with b=1, 15 of its 16 possible bands are dead rows.
+    """
+    out = []
+    n = len(ecfg.xqs)
+    for _, up in partitions:
+        max_idx = min(int(np.searchsorted(ecfg.xqs, float(up), side="left")), n - 1)
+        b_max: dict[int, int] = {}
+        for b, r in ecfg.params[: max_idx + 1]:
+            if b > 0:
+                b_max[r] = max(b_max.get(r, 0), min(b, ecfg.num_perm // r))
+        out.append(dict(sorted(b_max.items())))
+    return out
+
+
 def ensemble_bands(
     sig_df: DataFrame,
     ecfg: EnsembleConfig,
@@ -239,9 +266,14 @@ def ensemble_bands(
     key_col: str = "doc_id",
     sig_col: str = "sig",
     size_col: str = "set_size",
+    prune_unreachable: bool = True,
 ) -> DataFrame:
-    """(partition_id, r, band_idx, band_hash, key): band rows for every
-    distinct optimal r, within the key's size partition."""
+    """(partition_id, r, band_idx, band_hash, key): band rows within the
+    key's size partition, for every REACHABLE (r, band_idx) combination
+    (see ``reachable_bands_per_partition``; identical query results for
+    any query with size >= 1, strictly fewer index rows —
+    ``prune_unreachable=False`` materializes every band of every r
+    everywhere, the reference's storage shape)."""
     part_expr = F.lit(len(partitions) - 1)
     for pid in range(len(partitions) - 2, -1, -1):
         part_expr = F.when(
@@ -249,23 +281,36 @@ def ensemble_bands(
         ).otherwise(part_expr)
     with_part = sig_df.withColumn("partition_id", part_expr)
 
-    entries = []
-    for r in ecfg.rs:
-        n_bands = ecfg.num_perm // r
-        for i in range(n_bands):
-            entries.append(
-                F.struct(
-                    F.lit(r).alias("r"),
-                    F.lit(i).alias("band_idx"),
-                    F.xxhash64(
-                        F.lit(r), F.lit(i), F.slice(F.col(sig_col), i * r + 1, r)
-                    ).alias("band_hash"),
+    def _entries(band_counts: dict[int, int]):
+        entries = []
+        for r, n_bands in band_counts.items():
+            for i in range(n_bands):
+                entries.append(
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        F.lit(i).alias("band_idx"),
+                        F.xxhash64(
+                            F.lit(r), F.lit(i), F.slice(F.col(sig_col), i * r + 1, r)
+                        ).alias("band_hash"),
+                    )
                 )
-            )
+        return F.array(*entries)
+
+    if prune_unreachable:
+        per_part = reachable_bands_per_partition(ecfg, partitions)
+        arr_expr = _entries(per_part[-1])
+        for pid in range(len(partitions) - 2, -1, -1):
+            if per_part[pid] == per_part[-1]:
+                continue  # identical branch folds into the default
+            arr_expr = F.when(
+                F.col("partition_id") == F.lit(pid), _entries(per_part[pid])
+            ).otherwise(arr_expr)
+    else:
+        arr_expr = _entries({r: ecfg.num_perm // r for r in ecfg.rs})
     return with_part.select(
         F.col(key_col),
         "partition_id",
-        F.explode(F.array(*entries)).alias("e"),
+        F.explode(arr_expr).alias("e"),
     ).select(key_col, "partition_id", "e.r", "e.band_idx", "e.band_hash")
 
 

@@ -167,6 +167,42 @@ def test_ensemble_self_containment(spark):
         assert (i, i) in got, f"key {i} not self-returned"
 
 
+def test_ensemble_band_pruning_equivalent_and_smaller(spark):
+    # Reachability pruning (ratio ceiling + first-b-bands cap) must shrink
+    # the index without changing any query result.
+    from datasketch_spark.operators.ensemble import reachable_bands_per_partition
+
+    rng = np.random.RandomState(9)
+    rows = []
+    for i in range(40):
+        size = int(rng.randint(1, 80))
+        toks = [sha1_hash32(str(v).encode()) for v in range(size)]
+        rows.append((i, toks, size))
+    df = spark.createDataFrame(rows, TOKENS_SCHEMA)
+    udf = make_signature_from_tokens_udf(128, 1)
+    sigs = df.withColumn("sig", udf("tokens")).select("doc_id", "sig", "set_size")
+    ecfg = EnsembleConfig(threshold=0.8, num_perm=128, num_part=4, m=8)
+    parts = size_partitions(sigs, ecfg)
+    pruned = ensemble_bands(sigs, ecfg, parts)
+    full = ensemble_bands(sigs, ecfg, parts, prune_unreachable=False)
+    n_pruned, n_full = pruned.count(), full.count()
+    assert n_pruned < n_full, (n_pruned, n_full)
+    # At this config r=8 is only reachable with b=1: 15 of its 16 bands
+    # are dead rows in the unpruned index.
+    for b_max in reachable_bands_per_partition(ecfg, parts):
+        assert b_max.get(8, 0) <= 1
+    queries = sigs.select(F.col("doc_id").alias("query_id"), "sig", "set_size")
+    got_p = {
+        (r["query_id"], r["doc_id"])
+        for r in containment_query(pruned, queries, ecfg, parts).collect()
+    }
+    got_f = {
+        (r["query_id"], r["doc_id"])
+        for r in containment_query(full, queries, ecfg, parts).collect()
+    }
+    assert got_p == got_f
+
+
 def test_optimal_partitions_matches_reference_dp():
     # Parity with the reference DP's OBJECTIVE (lshensemble_partition.py):
     # import the reference MODULE (numpy-only, no package __init__) and
