@@ -64,13 +64,25 @@ def run_queries() -> None:
         "forest_topk",
     ]
     qs = entrymod.queries()
+    # Burn-certified min-of-2: each query runs twice (fresh plan each call;
+    # only JVM/JIT warmth is shared) and the suite is bracketed by
+    # fixed-duration CPU burns so a degraded-host window is visible in the
+    # recorded JSON (guest loadavg cannot see host steal).
+    burn_before = _burn_certify()
+    print(f"# burn_before: {burn_before}", file=sys.stderr)
     times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in headline:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {times[name]}s", file=sys.stderr)
+        pair = []
+        for _ in range(2):
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            pair.append(round(time.time() - t0, 3))
+        runs[name] = pair
+        times[name] = min(pair)
+        print(f"# {name}: {n} rows in {pair} -> {times[name]}s", file=sys.stderr)
+    burn_after = _burn_certify()
+    print(f"# burn_after: {burn_after}", file=sys.stderr)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -79,6 +91,8 @@ def run_queries() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "runs": runs,
+                "burns": [burn_before, burn_after],
                 "sf": _sf_from_dir(sf_dir),
             }
         )
