@@ -126,6 +126,15 @@ def topk_query(
     ``diagnostics`` (optional dict) receives ``candidate_rows`` (total
     scored candidate rows accumulated) and per-round ``rounds`` entries —
     the coverage/pruning metric mirroring ``lsh.dropped_buckets``.
+
+    ``schedule`` (optional) overrides the probe depths — strictly
+    descending, ending at 1. Every scheduled depth MUST be present in
+    ``index_prefixes`` (a depth the index lacks would silently yield zero
+    candidates for its band); with a default-built ``prefix_table`` that
+    means a subset of ``probe_schedule(k_per_tree)``, e.g. [16, 4, 1].
+    Coarser schedules trade per-round fixed cost against early-exit
+    granularity (more rows enumerated at shallow depths); results are
+    identical for any valid schedule.
     """
     if schedule is None:
         schedule = probe_schedule(fcfg.k_per_tree)
