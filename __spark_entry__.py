@@ -382,7 +382,9 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n")
     )
     hits = h.join(
-        ex, (h["query_id"] == ex["_q"]) & (h["neighbor_id"] == ex["_n"]), "left"
+        F.broadcast(ex),
+        (h["query_id"] == ex["_q"]) & (h["neighbor_id"] == ex["_n"]),
+        "left",
     )
     return (
         hits.groupBy("query_id")

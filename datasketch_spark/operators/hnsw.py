@@ -124,6 +124,11 @@ class HNSWIndex:
     def keys(self):
         return (k for k in self._points if k not in self._deleted)
 
+    __iter__ = keys  # iterate live keys, like the reference MutableMapping
+
+    def values(self):
+        return (self._points[k] for k in self.keys())
+
     def items(self):
         return ((k, self._points[k]) for k in self.keys())
 
@@ -229,9 +234,10 @@ class HNSWIndex:
     def query(
         self, point: np.ndarray, k: int = 10, ef: int | None = None
     ) -> list[tuple[Hashable, float]]:
-        """Top-k (key, distance), ascending — reference ``HNSW.query``."""
+        """Top-k (key, distance), ascending — reference ``HNSW.query``
+        (raises ValueError on an empty index, hnsw.py:668-670)."""
         if self._entry is None:
-            return []
+            raise ValueError("Entry point not found.")
         point = np.asarray(point, dtype=np.float64)
         ef = max(ef or self.ef_construction, k)
         ep = [(self.distance(point, self._points[self._entry]), self._entry)]

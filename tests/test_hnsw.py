@@ -141,11 +141,14 @@ def test_hnsw_hard_remove_and_clear_on_last():
     truth = _brute_topk(pts[10:], pts[12], 5)
     got = [key for key, _ in idx.query(pts[12], k=5)]
     assert len(set(t + 10 for t in truth) & set(got)) >= 4
-    # Removing down to the last point clears the index entirely.
+    # Removing down to the last point clears the index entirely; querying
+    # an empty index raises like the reference (test_hnsw.py::test_clear).
     for i in range(10, 25):
         idx.remove(i, hard=True)
     assert len(idx) == 0
-    assert idx.query(pts[0], k=3) == []
+    assert list(idx) == [] and list(idx.values()) == []
+    with pytest.raises(ValueError):
+        idx.query(pts[0], k=3)
     # And the cleared index is reusable.
     idx.insert(100, pts[0])
     assert idx.query(pts[0], k=1)[0][0] == 100
