@@ -199,15 +199,16 @@ def topk_query(
             rounds.append({"depth": d, "cumulative_rows": accumulated.count()})
         if d == 1:
             break
+        # `active` stays lazy: it is a cheap anti-join over the CHECKPOINTED
+        # accumulated frame, evaluated twice (isEmpty + next round's join)
+        # — cheaper than one more materialization job per round.
         satisfied = (
             accumulated.groupBy(query_key)
             .count()
             .where(F.col("count") >= k)
             .select(query_key)
         )
-        active = active.join(satisfied, query_key, "left_anti").localCheckpoint(
-            eager=True
-        )
+        active = active.join(satisfied, query_key, "left_anti")
         prev_d = d
         if active.isEmpty():
             break

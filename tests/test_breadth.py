@@ -140,6 +140,21 @@ def test_forest_deepening_equals_full_enumeration_and_prunes(spark):
     n_all_pairs = 8 * 47
     assert diag["candidate_rows"] < n_all_pairs / 2, diag
     assert len(diag["rounds"]) < 5, diag  # early-exited before depth 1
+    # Index storage holds only the probed depths: l_trees * |schedule|
+    # rows per doc (40), not num_perm (128).
+    from datasketch_spark.operators.forest import probe_schedule
+
+    n_depths = len(probe_schedule(fcfg.k_per_tree))
+    assert prefixes.count() == 48 * fcfg.l_trees * n_depths
+    # A coarser valid schedule returns the identical top-k.
+    res2 = topk_query(
+        prefixes, queries, sig_df, fcfg, k=5, schedule=[16, 4, 1]
+    )
+    got2 = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["best_depth"], r["est_jaccard"])
+        for r in res2.collect()
+    }
+    assert got2 == expected
 
 
 def test_ensemble_self_containment(spark):
