@@ -393,6 +393,37 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-flat cosine top-k (clustered ANN scale path, SURVEY.md 2.4):
+    # spherical-k-means lists + n_probe nearest-list candidate join. Like
+    # hnsw_topk, the approximate search itself is non-SQL, so the row is
+    # SELF-CHECKING: recall_ok = (>= 3 of 5 IVF neighbors are in the exact
+    # cosine top-5) per query, asserted TRUE by the oracle. Probing 12 of
+    # 16 lists on these near-uniform embeddings measures min overlap 4/5
+    # at sf0.01 and 3/5 at sf0.1 — deterministic (hash-ordered centroid
+    # training, fixed rounding), so the bar holds exactly.
+    from datasketch_spark.operators.ann import brute_force_topk, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where("vec_id < 20")
+    a = ivf_topk(emb, q, k=5, n_lists=16, n_probe=12).select(
+        "query_id", "neighbor_id"
+    )
+    ex = brute_force_topk(emb, q, k=5).select(
+        F.col("query_id").alias("_q"), F.col("neighbor_id").alias("_n")
+    )
+    hits = a.join(
+        F.broadcast(ex),
+        (a["query_id"] == ex["_q"]) & (a["neighbor_id"] == ex["_n"]),
+        "left",
+    )
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("_n").alias("_overlap"))
+        .select("query_id", (F.col("_overlap") >= 3).alias("recall_ok"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full near-dup pipeline over sf0.001 documents."""
     return q_minhash_dedup(spark, "/root/testdata/sf0.001")
@@ -416,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_match_len": q_substring_match_len,
         "hll_cardinality": q_hll_cardinality,
         "hnsw_topk": q_hnsw_topk,
+        "ivf_topk": q_ivf_topk,
         "lsh_query_words": q_lsh_query_words,
         "ensemble_containment": q_ensemble_containment,
         "forest_topk": q_forest_topk,
@@ -753,6 +785,11 @@ def oracle_sql() -> dict[str, str]:
         # query; the Spark side computes it against the exact top-5, so the
         # hash matches only if the graph search actually achieves recall.
         "hnsw_topk": """
+            SELECT vec_id AS query_id, true AS recall_ok
+            FROM embeddings WHERE vec_id < 20
+        """,
+        # Same self-check pattern for the IVF row.
+        "ivf_topk": """
             SELECT vec_id AS query_id, true AS recall_ok
             FROM embeddings WHERE vec_id < 20
         """,

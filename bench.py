@@ -59,6 +59,7 @@ def run_queries() -> None:
         "doc_stats",
         "hll_cardinality",
         "hnsw_topk",
+        "ivf_topk",
         "lsh_query_words",
         "ensemble_containment",
         "forest_topk",

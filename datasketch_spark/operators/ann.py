@@ -245,3 +245,142 @@ def simhash_bucketed_pairs(
         .where(F.col("sim") >= min_sim)
         .select("a", "b", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) cosine top-k — the clustered scale path.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_lists: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    n_iters: int = 10,
+) -> np.ndarray:
+    """Spherical k-means centroids (n_lists x dim, unit-norm) trained on a
+    DETERMINISTIC sample: rows are taken in xxhash64(id) order (a
+    TakeOrdered scan — per-partition top-k heaps, no full shuffle, no RNG
+    over data), normalized, and Lloyd-iterated with cosine assignment.
+    Training cost is O(sample x n_lists x dim) on the driver; everything
+    corpus-sized (assignment, search) stays distributed. Empty clusters
+    keep their previous centroid, so the result is reproducible
+    run-to-run and across cluster sizes."""
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64("_id"))
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    X = X[norms > 0] / norms[norms > 0, None]
+    n_lists = min(n_lists, len(X))
+    cent = X[:n_lists].copy()  # deterministic init: first rows in hash order
+    for _ in range(n_iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = X[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                norm = np.linalg.norm(m)
+                if norm > 0:
+                    cent[c] = m / norm
+    return cent
+
+
+def make_ivf_lists_udf(centroids: np.ndarray, n_probe: int):
+    """Pandas UDF ``embedding -> array<int>`` of the n_probe nearest
+    centroid ids by cosine: ONE (batch x dim) @ (dim x n_lists) matmul per
+    Arrow batch (the SimHash/MinHash UDF discipline — closure-held tensor,
+    no plan literals). n_probe=1 is the index-side assignment; queries
+    pass their probe width."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    C = np.asarray(centroids, dtype=np.float64)  # (n_lists, dim), unit rows
+    n_probe = min(n_probe, len(C))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def ivf_lists(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array(vecs.tolist(), dtype=np.float64)
+        sims = V @ C.T  # row norms don't change the argmax order
+        if n_probe == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            top = np.argpartition(-sims, n_probe - 1, axis=1)[:, :n_probe]
+            # order probes best-first for readability/determinism
+            rows = np.arange(len(V))[:, None]
+            top = top[rows, np.argsort(-sims[rows, top], axis=1)]
+        return pd.Series([t.astype(np.int32).tolist() for t in top])
+
+    return ivf_lists
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 64,
+    n_probe: int = 8,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    round_digits: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, sim, rank): IVF-flat approximate cosine
+    top-k — the clustered counterpart to ``brute_force_topk``.
+
+    Index side: every vector is assigned to its nearest spherical-k-means
+    centroid (one matmul UDF pass -> ``list_id``). Query side: each query
+    expands to its n_probe nearest lists and an equi-join on ``list_id``
+    restricts scoring to those lists' members — per-query work is
+    ~n_probe/n_lists of the corpus instead of all of it, and the join
+    shuffles on a bounded-cardinality key (n_lists), never on pairs.
+    Scoring and ranking are exact native expressions over the candidates
+    (same rounding/tie rules as ``brute_force_topk``, so with
+    n_probe == n_lists the output is IDENTICAL to brute force).
+
+    ``centroids``: pass a pretrained array to skip training (build-once /
+    query-many); default trains on a deterministic sample.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_lists, vec_col=vec_col, id_col=id_col
+        )
+    assign_udf = make_ivf_lists_udf(centroids, 1)
+    probe_udf = make_ivf_lists_udf(centroids, n_probe)
+
+    assigned = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        norm_col(vec_col).alias("_cn"),
+        F.element_at(assign_udf(F.col(vec_col)), 1).alias("list_id"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        norm_col(vec_col).alias("_qn"),
+        F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
+    )
+    cands = probes.join(assigned, "list_id")
+    if exclude_self:
+        cands = cands.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_col("_qv", "_cv") / (F.col("_qn") * F.col("_cn")), round_digits
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )

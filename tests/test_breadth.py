@@ -531,3 +531,57 @@ def test_hll_count_reference_empty_input(spark):
     empty = spark.createDataFrame([], "word string")
     got = hll_count_reference(empty, "word", p=8).collect()
     assert len(got) == 1 and got[0]["hll_estimate"] == 0.0
+
+
+def test_ivf_topk_full_probe_equals_brute_force(spark):
+    # With n_probe == n_lists every list is scored, so IVF must reproduce
+    # the exact brute-force output (same rounding + tie rules).
+    from datasketch_spark.operators.ann import ivf_topk, train_ivf_centroids
+
+    rng = np.random.RandomState(12)
+    n, dim = 200, 16
+    pts = rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    q = df.where("vec_id < 15")
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in ivf_topk(df, q, k=5, n_lists=8, n_probe=8).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["sim"])
+        for r in brute_force_topk(df, q, k=5).collect()
+    )
+    assert got == want
+    # Deterministic training: same data -> bit-identical centroids.
+    c1 = train_ivf_centroids(df, 8)
+    c2 = train_ivf_centroids(df, 8)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_topk_partial_probe_recall(spark):
+    # Clustered corpus: probing 3 of 10 lists must still recover almost all
+    # true neighbors (the IVF contract: neighbors live in nearby lists).
+    from datasketch_spark.operators.ann import ivf_topk
+
+    rng = np.random.RandomState(13)
+    centers = rng.normal(size=(10, 24)) * 8.0
+    pts = np.vstack([c + rng.normal(size=(30, 24)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(len(pts))], ["vec_id", "embedding"]
+    )
+    q = df.where("vec_id % 30 = 7")
+    approx = ivf_topk(df, q, k=5, n_lists=10, n_probe=3).collect()
+    exact = brute_force_topk(df, q, k=5).collect()
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict = {}
+    for r in approx:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(truth[qid] & got.get(qid, set())) / len(truth[qid]) for qid in truth
+    ]
+    assert np.mean(recalls) >= 0.9, recalls
