@@ -37,6 +37,8 @@ depth-1-join plan this replaces).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,6 +70,7 @@ def prefix_table(
     key_col: str = "doc_id",
     sig_col: str = "sig",
     depths: list[int] | None = None,
+    exclude_empty: bool = True,
 ) -> DataFrame:
     """(key, tree_idx, depth, prefix_hash) for the PROBED depths only
     (default: ``probe_schedule`` — len(schedule) rows per doc per tree).
@@ -77,6 +80,13 @@ def prefix_table(
     the reference likewise stores one sorted key per (doc, tree) and derives
     prefixes positionally, so generating only probed depths matches its
     O(l) storage, not an explosion of every depth.
+
+    ``exclude_empty``: drop rows whose prefix hash equals the never-updated
+    (all-MAX_HASH) signature's — the same hazard ``lsh.bands_table``
+    filters: on a web corpus every null/empty document shares the SAME
+    full-depth prefix in every tree, so m empty docs would meet the
+    deepest probe round as one m^2-pair bucket. Empty docs simply return
+    no forest results (consistent with their bands-table exclusion).
     """
     if depths is None:
         depths = probe_schedule(fcfg.k_per_tree)
@@ -95,9 +105,43 @@ def prefix_table(
                     ).alias("prefix_hash"),
                 )
             )
-    return sig_df.select(
+    out = sig_df.select(
         F.col(key_col), F.explode(F.array(*entries)).alias("e")
     ).select(key_col, "e.tree_idx", "e.depth", "e.prefix_hash")
+    if exclude_empty:
+        out = out.where(
+            ~F.col("prefix_hash").isin(
+                list(
+                    _empty_prefix_hashes(
+                        sig_df.sparkSession, fcfg.l_trees, tuple(depths)
+                    )
+                )
+            )
+        )
+    return out
+
+
+@lru_cache(maxsize=32)
+def _empty_prefix_hashes(spark, l_trees: int, depths: tuple) -> tuple:
+    """The (tree, depth) prefix hashes of the never-updated all-MAX_HASH
+    signature — computed once with the same expressions prefix_table uses
+    (mirrors ``lsh._empty_band_hashes``). A live document collides with one
+    of these only if a signature slot equals MAX_HASH, probability ~2^-32
+    per slot."""
+    from datasketch_spark.functions.hashing import MAX_HASH
+
+    exprs = []
+    for t in range(l_trees):
+        for depth in depths:
+            exprs.append(
+                F.xxhash64(
+                    F.lit(t),
+                    F.lit(depth),
+                    F.array_repeat(F.lit(int(MAX_HASH)).cast("long"), depth),
+                )
+            )
+    row = spark.range(1).select(F.array(*exprs).alias("h")).collect()[0]
+    return tuple(row["h"])
 
 
 def topk_query(

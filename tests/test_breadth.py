@@ -585,3 +585,29 @@ def test_ivf_topk_partial_probe_recall(spark):
         len(truth[qid] & got.get(qid, set())) / len(truth[qid]) for qid in truth
     ]
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_forest_excludes_empty_signatures(spark):
+    # Never-updated (all-MAX_HASH) signatures would form one full-depth
+    # m^2 bucket per tree; like lsh.bands_table, prefix_table drops them
+    # and empty docs simply get no forest results.
+    from datasketch_spark.functions.hashing import MAX_HASH
+
+    rng = np.random.RandomState(14)
+    rows = [(i, [int(x) for x in rng.randint(0, 1 << 31, 128)]) for i in range(6)]
+    empty_sig = [int(MAX_HASH)] * 128
+    rows += [(100 + j, list(empty_sig)) for j in range(3)]
+    sig_df = spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+    fcfg = ForestConfig(num_perm=128, l_trees=8)
+    prefixes = prefix_table(sig_df, fcfg)
+    keys = {r["doc_id"] for r in prefixes.select("doc_id").distinct().collect()}
+    assert keys == set(range(6))
+    res = topk_query(
+        prefixes,
+        sig_df.withColumnRenamed("doc_id", "query_id"),
+        sig_df,
+        fcfg,
+        k=3,
+    )
+    got = {(r["query_id"], r["doc_id"]) for r in res.collect()}
+    assert not any(q >= 100 or d >= 100 for q, d in got), got
