@@ -214,3 +214,18 @@ def test_image_features_decodes_png_rows(spark):
     assert rows[1]["status"] == "ok" and rows[2]["status"] == "ok"
     # Same pixels through either container -> identical features.
     assert rows[1]["feature"] == rows[2]["feature"]
+
+
+def test_png_roundtrip_edge_shapes():
+    # Degenerate rasters (1-pixel rows/columns, single row, each channel
+    # mode) exercise the bpp-boundary branches of every unfilter path.
+    rng = np.random.RandomState(44)
+    for h, w in [(1, 1), (1, 7), (7, 1), (2, 2), (3, 5)]:
+        for ctype, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+            px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+            for f in range(5):
+                got = decode_png(encode_png(px, ctype, [f] * h))
+                want = (
+                    np.repeat(px[:, :, :1], 3, axis=2) if ch <= 2 else px[:, :, :3]
+                )
+                assert np.array_equal(got, want), (h, w, ctype, f)
