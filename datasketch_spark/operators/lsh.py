@@ -51,9 +51,16 @@ def band_hash_array(cfg: DedupConfig, sig_col: str = "sig"):
 
 
 def bands_table(
-    sig_df: DataFrame, cfg: DedupConfig, key_col: str = "doc_id", sig_col: str = "sig"
+    sig_df: DataFrame,
+    cfg: DedupConfig,
+    key_col: str = "doc_id",
+    sig_col: str = "sig",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(key, band_idx, band_hash) — the LSH index as a table.
+    """(key, *extra_cols, band_idx, band_hash) — the LSH index as a table.
+
+    ``extra_cols`` are carried through unchanged (e.g. the event-time
+    column a streaming consumer needs for watermark-scoped state).
 
     ``posexplode`` of the band-hash array: b rows per doc, one shuffle on
     write. At scale this table is written bucketed by band_hash so the
@@ -70,6 +77,7 @@ def bands_table(
     empty_band_hashes = _empty_band_hashes(sig_df.sparkSession, cfg)
     exploded = sig_df.select(
         F.col(key_col),
+        *[F.col(c) for c in extra_cols],
         F.posexplode(band_hash_array(cfg, sig_col)).alias("band_idx", "band_hash"),
     )
     return exploded.where(

@@ -94,11 +94,35 @@ _CLAIMS_STATE_SCHEMA = StructType(
 )
 
 
+_RETENTION_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _retention_ms(retention: str) -> int:
+    """Parse '<n> <unit>' (second/minute/hour/day, plural ok) to ms."""
+    parts = retention.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"retention must be '<n> <unit>', got {retention!r}")
+    n, unit = parts
+    unit = unit.rstrip("s").lower()
+    if unit not in _RETENTION_UNITS_MS:
+        raise ValueError(f"unknown retention unit {unit!r}")
+    return int(float(n) * _RETENTION_UNITS_MS[unit])
+
+
 def streaming_lsh_claims(
     stream: DataFrame,
     cfg: DedupConfig,
     key_col: str = "url",
     text_col: str = "text",
+    ts_col: str = "warc_ts",
+    retention: str | None = None,
+    watermark_delay: str = "0 seconds",
 ) -> DataFrame:
     """Incremental streaming LSH index: (band_idx, band_hash, url,
     first_url, prior_count) per incoming band row.
@@ -111,25 +135,55 @@ def streaming_lsh_claims(
     insert-then-query. Within a microbatch, rows are processed in sorted
     ``key_col`` order for determinism.
 
-    State never expires (``NoTimeout``): the index is meant to grow with
-    the accepted corpus, bounded by distinct buckets (b x corpus size at
-    worst); shard the stream by band_hash range if a single store outgrows
-    an executor, exactly like the batch bands table.
+    ``retention`` (e.g. ``"1 hour"``) bounds the state store on an
+    unbounded ingest: the stream is watermarked on ``ts_col`` (delay
+    ``watermark_delay``) and each bucket's state carries an EVENT-TIME
+    timeout of (max event time seen by the bucket + retention). When the
+    watermark passes that horizon the bucket's state is dropped — near-dup
+    detection only looks back ``retention`` of event time, exactly the
+    watermark-scoped-state contract of ``exact_dedup_stream``, and an
+    expired bucket is re-claimable by the next arrival. With
+    ``retention=None`` state never expires (``NoTimeout``) — the index
+    grows with the accepted corpus, bounded by distinct buckets (b x
+    corpus size at worst); shard the stream by band_hash range if a
+    single store outgrows an executor, exactly like the batch bands table.
     """
-    sigs = with_signature(stream, cfg, text_col=text_col).select(key_col, "sig")
-    bands = bands_table(sigs, cfg, key_col=key_col)
+    retention_ms = _retention_ms(retention) if retention is not None else None
+    if retention_ms is not None:
+        stream = stream.withWatermark(ts_col, watermark_delay)
+        sig_cols = [key_col, ts_col]
+        extra = (ts_col,)
+    else:
+        sig_cols = [key_col]
+        extra = ()
+    sigs = with_signature(stream, cfg, text_col=text_col).select(*sig_cols, "sig")
+    bands = bands_table(sigs, cfg, key_col=key_col, extra_cols=extra)
 
     def _update(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if retention_ms is not None and state.hasTimedOut:
+            # Watermark passed the bucket's retention horizon: drop it.
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "band_idx": pd.Series([], dtype="int64"),
+                    "band_hash": pd.Series([], dtype="int64"),
+                    "url": pd.Series([], dtype="object"),
+                    "first_url": pd.Series([], dtype="object"),
+                    "prior_count": pd.Series([], dtype="int64"),
+                }
+            )
+            return
         band_idx, band_hash = int(key[0]), int(key[1])
         if state.exists:
             first_url, n = state.get
         else:
             first_url, n = None, 0
         out_url, out_first, out_prior = [], [], []
+        max_event_ms = None
         for pdf in pdfs:
             for url in sorted(pdf[key_col].tolist()):
                 if first_url is None:
@@ -138,7 +192,16 @@ def streaming_lsh_claims(
                 out_first.append(first_url)
                 out_prior.append(n)
                 n += 1
+            if retention_ms is not None and len(pdf):
+                batch_max = int(pd.Timestamp(pdf[ts_col].max()).value // 1_000_000)
+                if max_event_ms is None or batch_max > max_event_ms:
+                    max_event_ms = batch_max
         state.update((first_url, n))
+        if retention_ms is not None:
+            # Expire when the watermark passes the bucket's newest event +
+            # retention (timeout must sit strictly past the watermark).
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((max_event_ms or 0) + retention_ms, wm + 1))
         yield pd.DataFrame(
             {
                 "band_idx": band_idx,
@@ -154,5 +217,9 @@ def streaming_lsh_claims(
         outputStructType=_CLAIMS_SCHEMA,
         stateStructType=_CLAIMS_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if retention_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -64,6 +64,99 @@ def test_near_dedup_stream_filters_known_dups(spark, tmp_path):
     assert flags == {"dup": True, "new": False}
 
 
+def test_streaming_lsh_claims_retention_expires_state(spark, tmp_path):
+    # retention="1 hour" puts an event-time timeout on every bucket's
+    # state: once the watermark passes (bucket's newest event + 1h) the
+    # state row is dropped (bounded store on an unbounded stream) and the
+    # bucket is re-claimable by the next arrival.
+    from datetime import datetime, timedelta
+
+    from datasketch_spark.streaming.dedup_stream import streaming_lsh_claims
+
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    src.mkdir()
+    schema = "url string, text string, warc_ts timestamp"
+    base_text = "retention scoped streaming lsh state demo text " * 8
+    t0 = datetime(2024, 1, 1)
+    state_stats = {}  # run_id -> (rows_removed_in_run, final numRowsTotal)
+
+    def run_batch(rows, run_id):
+        spark.createDataFrame(rows, schema).write.parquet(str(src / f"b{run_id}"))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        claims = streaming_lsh_claims(
+            stream, CFG, key_col="url", retention="1 hour"
+        )
+        q = (
+            claims.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ops = [
+            p["stateOperators"][0]
+            for p in q.recentProgress
+            if p.get("stateOperators")
+        ]
+        state_stats[run_id] = (
+            sum(op.get("numRowsRemoved", 0) for op in ops),
+            ops[-1]["numRowsTotal"] if ops else None,
+        )
+        return spark.read.parquet(out_dir).collect()
+
+    out1 = run_batch([("a", base_text, t0)], 0)
+    assert out1 and all(
+        r["prior_count"] == 0 and r["first_url"] == "a" for r in out1
+    )
+    n_a_buckets = len(out1)
+
+    # Two watermark-advancing runs of novel docs 3 days later: the first
+    # moves the watermark past a's horizon (its trailing cleanup batch may
+    # already fire the timeouts), the second run's batch definitely
+    # evaluates against the advanced watermark.
+    run_batch(
+        [("adv1", "novel advancing words one " * 20, t0 + timedelta(days=3))], 1
+    )
+    out3 = run_batch(
+        [
+            (
+                "adv2",
+                "other advancing words two " * 20,
+                t0 + timedelta(days=3, hours=1),
+            )
+        ],
+        2,
+    )
+    removed = state_stats[1][0] + state_stats[2][0]
+    assert removed >= n_a_buckets  # a's buckets were dropped from the store
+    # Bounded state: the store holds only buckets inside the retention
+    # horizon (adv1 + adv2), NOT everything ever ingested.
+    live_buckets = len(
+        {
+            (r["band_idx"], r["band_hash"])
+            for r in out3
+            if r["url"] in ("adv1", "adv2")
+        }
+    )
+    all_time_buckets = len({(r["band_idx"], r["band_hash"]) for r in out3})
+    assert state_stats[2][1] is not None
+    assert state_stats[2][1] <= live_buckets < all_time_buckets
+
+    # Expired bucket is re-claimable: a near-dup of a (whose state is gone)
+    # claims its buckets fresh instead of colliding with history.
+    out4 = run_batch(
+        [("b", base_text + " tiny suffix", t0 + timedelta(days=3, hours=2))], 3
+    )
+    b_rows = [r for r in out4 if r["url"] == "b"]
+    assert b_rows and all(
+        r["prior_count"] == 0 and r["first_url"] == "b" for r in b_rows
+    )
+
+
 def test_streaming_lsh_claims_stateful_across_restarts(spark, tmp_path):
     # The applyInPandasWithState incremental index: bucket state must
     # persist through the checkpoint across two separate query runs —
