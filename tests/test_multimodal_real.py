@@ -110,10 +110,13 @@ def test_real_feature_operators_with_quarantine(spark):
     assert arows[11]["feature"] is None and arows[11]["status"]
 
 
-def encode_png(px: np.ndarray, color_type: int = 2, filters=None) -> bytes:
+def encode_png(
+    px: np.ndarray, color_type: int = 2, filters=None, palette: np.ndarray | None = None
+) -> bytes:
     """Minimal stdlib PNG writer (test-side oracle): 8-bit, per-row filter
     types chosen to exercise every unfilter path (0=None 1=Sub 2=Up
-    3=Average 4=Paeth)."""
+    3=Average 4=Paeth). For ``color_type=3`` pass ``palette`` (n x 3
+    uint8) and ``px`` as (h, w[, 1]) palette indices."""
     import zlib
 
     h, w = px.shape[:2]
@@ -152,9 +155,15 @@ def encode_png(px: np.ndarray, color_type: int = 2, filters=None) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    plte = (
+        chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        if palette is not None
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(bytes(raw)))
         + chunk(b"IEND", b"")
     )
@@ -214,6 +223,24 @@ def test_image_features_decodes_png_rows(spark):
     assert rows[1]["status"] == "ok" and rows[2]["status"] == "ok"
     # Same pixels through either container -> identical features.
     assert rows[1]["feature"] == rows[2]["feature"]
+
+
+def test_png_paletted_decodes_via_plte():
+    rng = np.random.RandomState(45)
+    palette = rng.randint(0, 256, size=(17, 3)).astype(np.uint8)
+    idx = rng.randint(0, 17, size=(9, 6, 1)).astype(np.uint8)
+    idx[0, 0, 0] = 16  # force a high index for the range checks below
+    want = palette[idx[:, :, 0]]
+    for f in range(5):
+        got = decode_png(encode_png(idx, 3, [f] * 9, palette=palette))
+        assert np.array_equal(got, want), f
+    # Mixed per-row filters too.
+    assert np.array_equal(decode_png(encode_png(idx, 3, palette=palette)), want)
+    # Missing PLTE and out-of-range indexes are malformed, not unsupported.
+    with pytest.raises(ValueError):
+        decode_png(encode_png(idx, 3))
+    with pytest.raises(ValueError):
+        decode_png(encode_png(idx, 3, palette=palette[:5]))
 
 
 def test_png_roundtrip_edge_shapes():
