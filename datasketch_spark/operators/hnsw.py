@@ -299,10 +299,15 @@ class HNSWIndex:
             affected = in_nbrs | key_nbrs
             for w in affected:
                 pw = self._points[w]
+                # Soft-deleted nodes STAY in the candidate pool: they must
+                # remain navigable (keep in-edges) or whole neighborhoods
+                # reachable only through them would orphan after mixed
+                # soft+hard removals. They just never get the reciprocal
+                # edge added below (no shrink pressure on their lists).
                 cand_keys = {
                     c
                     for c in (set(layer[w]) | key_nbrs | affected)
-                    if c != w and c in layer and c not in self._deleted
+                    if c != w and c in layer
                 }
                 cands = [
                     (self.distance(pw, self._points[c]), c) for c in cand_keys
@@ -310,8 +315,10 @@ class HNSWIndex:
                 new_nbrs = self._select_neighbors(pw, cands, cap)
                 layer[w] = new_nbrs
                 if w in self._deleted:
-                    continue  # soft-deleted nodes gain no new in-edges
+                    continue  # soft-deleted nodes gain no reciprocal edges
                 for c, d in new_nbrs.items():
+                    if c in self._deleted:
+                        continue
                     layer[c][w] = d
                     self._shrink(c, lv)
         del self._points[key]
@@ -388,7 +395,7 @@ def hnsw_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    distance: str = "l2",
+    distance: str | Callable[[np.ndarray, np.ndarray], float] = "l2",
     m: int = 16,
     ef_construction: int = 100,
     ef_search: int | None = None,
@@ -405,6 +412,11 @@ def hnsw_topk(
     semantics) — queries are the small side by contract. Corpus partitions
     each build one in-memory graph; results are exact per-partition top-k
     of an approximate search, merged with a window.
+
+    ``distance``: ``"l2"`` / ``"cosine"``, or any picklable callable
+    ``(np.ndarray, np.ndarray) -> float`` (module-level function, not a
+    lambda — it ships to executors in the UDF closure), matching the
+    reference's any-metric contract (``hnsw.py:146-226``).
     """
     q_rows = queries.select(
         F.col(query_id_col).cast("long"), F.col(vec_col)
@@ -475,12 +487,21 @@ class PartitionedHNSW:
     executor task comfortably (same constraint the build already had).
     The query batch ships via the UDF closure — the standard small-probe
     contract shared with ``hnsw_topk``.
+
+    Cross-session persistence: ``save(root)`` writes the blob table
+    through ``sources.io.CheckpointManager`` (config-digest sidecar, same
+    machinery as the dedup checkpoints); ``PartitionedHNSW.load(spark,
+    root)`` restores it in a fresh session with zero rebuild work — the
+    pickled graphs carry their own distance callable.
+
+    ``distance``: ``"l2"`` / ``"cosine"`` or any picklable callable
+    (module-level function — it is pickled inside the per-partition blob).
     """
 
     def __init__(
         self,
         vectors: DataFrame,
-        distance: str = "l2",
+        distance: str | Callable[[np.ndarray, np.ndarray], float] = "l2",
         m: int = 16,
         ef_construction: int = 100,
         n_partitions: int | None = None,
@@ -488,6 +509,14 @@ class PartitionedHNSW:
         vec_col: str = "embedding",
     ) -> None:
         self._distance = distance
+        self.config = {
+            "distance": distance
+            if isinstance(distance, str)
+            else f"{getattr(distance, '__module__', '?')}.{getattr(distance, '__qualname__', repr(distance))}",
+            "m": m,
+            "ef_construction": ef_construction,
+            "n_partitions": n_partitions,
+        }
         base = vectors.select(
             F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
         )
@@ -513,6 +542,50 @@ class PartitionedHNSW:
         self.n_points = int(
             self.blobs.agg(F.sum("n_points")).collect()[0][0] or 0
         )  # materializes the build exactly once
+
+    _STAGE = "hnsw_blobs"
+
+    def save(self, root: str, fmt: str = "parquet") -> None:
+        """Write the (pid, n_points, blob) table to ``<root>/hnsw_blobs``
+        with the standard config-digest metrics sidecar, so build-once
+        survives the SparkSession like every other index in the repo."""
+        from datasketch_spark.sources.io import CheckpointManager
+
+        CheckpointManager(
+            root=root, format=fmt, resume=False, run_config=self.config
+        ).materialize(self.blobs, self._STAGE)
+
+    @classmethod
+    def load(
+        cls,
+        spark,
+        root: str,
+        fmt: str = "parquet",
+        expected_config: dict | None = None,
+    ) -> "PartitionedHNSW":
+        """Restore a saved index — no rebuild jobs: the graphs deserialize
+        lazily inside each query's ``mapInPandas`` tasks. Pass
+        ``expected_config`` (the builder's ``.config``) to fail fast on a
+        digest mismatch instead of querying an index built under different
+        parameters."""
+        from datasketch_spark.sources.io import CheckpointManager
+
+        ckpt = CheckpointManager(
+            root=root, format=fmt, run_config=expected_config or {}
+        )
+        if expected_config is not None and not ckpt.has(cls._STAGE):
+            raise ValueError(
+                f"no saved HNSW blobs under {root!r} matching the expected "
+                "config digest (parameters changed since save?)"
+            )
+        obj = cls.__new__(cls)
+        obj._distance = (expected_config or {}).get("distance")
+        obj.config = dict(expected_config or {})
+        obj.blobs = ckpt.load(spark, cls._STAGE).persist()
+        obj.n_points = int(
+            obj.blobs.agg(F.sum("n_points")).collect()[0][0] or 0
+        )
+        return obj
 
     def query(
         self,

@@ -216,6 +216,130 @@ def test_partitioned_hnsw_build_once_query_many(spark):
     pidx.unpersist()
 
 
+def test_hard_remove_repair_keeps_soft_deleted_navigable():
+    # Soft-deleted nodes must stay in the repair candidate pool: on this
+    # fully-connected 5-node line graph, hard-removing node 1 repairs the
+    # whole neighborhood; excluding the soft-deleted node 2 would strip
+    # every in-edge it has, orphaning it (and everything reachable only
+    # through it). It keeps in-edges but gains no reciprocal edges.
+    idx = HNSWIndex("l2", m=2, ef_construction=16, seed=3)
+    for i, x in enumerate([0.0, 1.0, 2.0, 3.0, 4.0]):
+        idx.insert(i, np.array([x]))
+    idx.remove(2)  # soft
+    idx.remove(1, hard=True)
+    layer0 = idx._graph[0]
+    assert 2 in layer0
+    assert any(2 in nbrs for u, nbrs in layer0.items() if u != 2)
+    # Still navigable THROUGH 2, never RETURNED: query next to it.
+    res = idx.query(np.array([2.1]), k=3)
+    keys = [key for key, _ in res]
+    assert 2 not in keys and set(keys) == {0, 3, 4}
+
+
+def manhattan(x, y):
+    # Module-level (picklable) custom metric for the distributed tests.
+    return float(np.abs(x - y).sum())
+
+
+def test_hnsw_topk_custom_distance_callable(spark):
+    # A user callable must flow through the Spark path (closure-shipped)
+    # and match a local index using the same metric, like the reference's
+    # any-metric contract.
+    rng = np.random.RandomState(9)
+    n, dim, k = 120, 6, 4
+    pts = rng.rand(n, dim)
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    q = df.where("vec_id < 8")
+    got = {}
+    for r in hnsw_topk(
+        df, q, k=k, distance=manhattan, m=16, ef_construction=100, n_partitions=1
+    ).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    local = HNSWIndex(manhattan, m=16, ef_construction=100)
+    for i in range(n):
+        local.insert(i, pts[i])
+    for qid in range(8):
+        want = [
+            key for key, _ in local.query(pts[qid], k + 1) if key != qid
+        ][:k]
+        assert [n_ for _, n_ in sorted(got[qid])] == want, qid
+
+
+def test_partitioned_hnsw_save_load_roundtrip(spark, tmp_path):
+    # Build -> save -> load (fresh object, no rebuild) -> identical top-k;
+    # a config digest mismatch on load fails fast.
+    rng = np.random.RandomState(10)
+    n, dim, k = 200, 8, 5
+    pts = rng.rand(n, dim)
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    built = PartitionedHNSW(df, m=8, ef_construction=64, n_partitions=3)
+    q = df.where("vec_id < 12")
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in built.query(q, k=k).collect()
+    )
+    root = str(tmp_path / "hnsw_store")
+    built.save(root)
+    cfg = built.config
+    built.unpersist()
+
+    loaded = PartitionedHNSW.load(spark, root, expected_config=cfg)
+    assert loaded.n_points == n
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in loaded.query(q, k=k).collect()
+    )
+    assert got == want
+    loaded.unpersist()
+
+    with pytest.raises(ValueError, match="digest"):
+        PartitionedHNSW.load(
+            spark, root, expected_config={**cfg, "m": 99}
+        )
+
+
+def test_partitioned_hnsw_custom_distance_survives_save_load(spark, tmp_path):
+    # The pickled per-partition graphs carry the metric itself: a custom
+    # callable works through save/load with no re-wiring.
+    rng = np.random.RandomState(11)
+    n, k = 80, 3
+    pts = rng.rand(n, 5)
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    built = PartitionedHNSW(
+        df, distance=manhattan, m=8, ef_construction=64, n_partitions=2
+    )
+    q = df.where("vec_id < 5")
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in built.query(q, k=k).collect()
+    )
+    root = str(tmp_path / "hnsw_custom")
+    built.save(root)
+    built.unpersist()
+    loaded = PartitionedHNSW.load(spark, root, expected_config=built.config)
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in loaded.query(q, k=k).collect()
+    )
+    assert got == want
+    # Sanity: the metric really is manhattan, not l2.
+    local = HNSWIndex(manhattan, m=8, ef_construction=64)
+    for i in range(n):
+        local.insert(i, pts[i])
+    first = [r for r in got if r[0] == 0]
+    want_local = [
+        key for key, _ in local.query(pts[0], k + 1) if key != 0
+    ][:k]
+    assert [n_ for _, _, n_ in sorted(first)] == want_local
+    loaded.unpersist()
+
+
 def test_hnsw_topk_distributed_recall(spark):
     # Partitioned build + merge must reproduce brute-force top-k on random
     # data (per-partition exactness makes the merged result near-exact).
