@@ -275,8 +275,13 @@ def train_ivf_centroids(
         .collect()
     )
     X = np.array([r["_v"] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(X, axis=1)
-    X = X[norms > 0] / norms[norms > 0, None]
+    if len(X):
+        norms = np.linalg.norm(X, axis=1)
+        X = X[norms > 0] / norms[norms > 0, None]
+    if len(X) == 0:
+        # Fail here with a clear message instead of an opaque numpy
+        # argmax/argpartition error inside the executor's assignment UDF.
+        raise ValueError("no non-zero vectors to train IVF centroids")
     n_lists = min(n_lists, len(X))
     cent = X[:n_lists].copy()  # deterministic init: first rows in hash order
     for _ in range(n_iters):

@@ -345,6 +345,12 @@ def containment_query(
     No collect, no plan growth with data; the plan has exactly 3 joins
     regardless of query count or size distribution.
     """
+    # Size-0 query rows would make the xq ratio Infinity/NULL, clamp to the
+    # top grid index, and probe bands a reachability-pruned index never
+    # materialized — silently returning fewer candidates than an unpruned
+    # index. Drop them up front so pruned and unpruned indexes are
+    # observably equivalent (a size-0 set contains nothing anyway).
+    query_sig_df = query_sig_df.where(F.col(size_col) >= 1)
     spark = bands.sparkSession
     parts_df = spark.createDataFrame(
         [(pid, int(up)) for pid, (_, up) in enumerate(partitions)],

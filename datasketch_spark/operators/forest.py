@@ -8,15 +8,17 @@ accumulated (``lshforest.py:92-128``) — that early exit is what makes
 Forest queries sublinear.
 
 Spark-shaped equivalent with identical top-k semantics: BATCHED ITERATIVE
-DEEPENING. Probe depths descend geometrically (k_per_tree, k/2, ..., 2, 1);
-each round is ONE equi-join on (tree_idx, depth, prefix_hash) restricted to
-the still-unsatisfied queries, each joined pair is scored with its TRUE
-deepest-shared-prefix depth (one shared slot-equality array), and queries
-that have accumulated >= k verified candidates are anti-joined away before
-the next (shallower, hotter) round. A true prefix match at depth d is also
-a match at every shallower depth, so joining a single depth per round finds
-every pair in its depth band — the index stores ONLY the probed depths
-(len(schedule) rows per doc per tree, e.g. 5 instead of 16).
+DEEPENING. Probe depths descend geometrically (default: quarter steps
+with a depth-2 guard round before the near-all-pairs depth-1 band, e.g.
+[16, 4, 2, 1]); each round is ONE equi-join on (tree_idx, depth,
+prefix_hash) restricted to the still-unsatisfied queries, each joined pair
+is scored with its TRUE deepest-shared-prefix depth (one shared
+slot-equality array), and queries that have accumulated >= k verified
+candidates are anti-joined away before the next (shallower, hotter) round.
+A true prefix match at depth d is also a match at every shallower depth,
+so joining a single depth per round finds every pair in its depth band —
+the index stores ONLY the probed depths (len(schedule) rows per doc per
+tree, e.g. 4 instead of 16).
 
 Correctness vs full enumeration: the accumulated set after the stop round
 contains every pair with best_depth >= the stop depth, which is >= k pairs
@@ -52,14 +54,30 @@ class ForestConfig:
         self.k_per_tree = num_perm // l_trees
 
 
-def probe_schedule(k_per_tree: int) -> list[int]:
-    """Geometric descent of probe depths: k, k//2, ..., 2, 1 (always ends
-    at 1, the completeness depth)."""
+def probe_schedule(k_per_tree: int, factor: int = 4, guard: int = 2) -> list[int]:
+    """Geometric descent of probe depths: k, k//factor, ..., guard, 1
+    (always ends at 1, the completeness depth).
+
+    Results are identical for ANY valid schedule (every pair is re-scored
+    with its true best_depth); the shape only trades per-round fixed cost
+    (one materialization job per depth) against early-exit granularity
+    (a coarser schedule enumerates more rows before retiring a query).
+    The default keeps a ``guard`` round at depth 2 before the
+    near-all-pairs depth-1 band: measured at sf0.1, [16, 4, 2, 1]
+    accumulates 31.5k candidate rows vs 123.5k for the pure-quarter
+    [16, 4, 1] (queries satisfiable at depth 2-3 never touch the depth-1
+    flood — the property that matters at 100x corpus size), while still
+    beating the r3 halving schedule [16, 8, 4, 2, 1] on wall clock
+    (4.90s vs 5.01s isolated; depth 8 retired only 4 of 6856 rows).
+    ``guard=1`` gives the pure-factor descent ([16, 4, 1]: 3.52s at
+    sf0.1 — fastest at small SF, candidate-heavier at scale)."""
+    if factor < 2:
+        raise ValueError("factor must be >= 2")
     out: list[int] = []
     d = k_per_tree
     while d > 1:
         out.append(d)
-        d //= 2
+        d = max(d // factor, guard if d > guard else 1)
     out.append(1)
     return out
 
@@ -155,6 +173,8 @@ def topk_query(
     sig_col: str = "sig",
     diagnostics: dict | None = None,
     schedule: list[int] | None = None,
+    index_depths: list[int] | None = None,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Batched top-k: (query_id, doc_id, best_depth, est_jaccard, rank),
     identical to full-enumeration ranking (see module docstring), computed
@@ -164,28 +184,46 @@ def topk_query(
     index prefixes at that depth, score every pair's true best_depth (ONE
     zip_with slot-equality array feeds both best_depth and est_jaccard),
     keep the round's depth band, and retire queries holding >= k verified
-    candidates. Rounds materialize via eager localCheckpoint — bounded at
-    len(probe_schedule) (~log2 k_per_tree) tiny jobs, lineage truncated.
+    candidates via an anti-join folded into the NEXT round's probe build —
+    no separate emptiness/count job per round. Rounds materialize
+    EAGERLY via ``localCheckpoint`` — len(schedule) (default 3) small
+    jobs, lineage truncated, so this call runs Spark jobs instead of
+    returning a fully lazy plan. Local checkpoints pin blocks to
+    executors and are NOT fault-tolerant: on a real cluster an executor
+    loss mid-query (or before the result is consumed) is unrecoverable.
+    Set ``reliable_checkpoint=True`` to use ``DataFrame.checkpoint``
+    instead (requires ``spark.sparkContext.setCheckpointDir`` pointing at
+    durable storage) for cluster deployments.
 
     ``diagnostics`` (optional dict) receives ``candidate_rows`` (total
     scored candidate rows accumulated) and per-round ``rounds`` entries —
-    the coverage/pruning metric mirroring ``lsh.dropped_buckets``.
+    the coverage/pruning metric mirroring ``lsh.dropped_buckets`` (adds
+    one count job per round).
 
     ``schedule`` (optional) overrides the probe depths — strictly
     descending, ending at 1. Every scheduled depth MUST be present in
     ``index_prefixes`` (a depth the index lacks would silently yield zero
-    candidates for its band); with a default-built ``prefix_table`` that
-    means a subset of ``probe_schedule(k_per_tree)``, e.g. [16, 4, 1].
-    Coarser schedules trade per-round fixed cost against early-exit
-    granularity (more rows enumerated at shallow depths); results are
-    identical for any valid schedule.
+    candidates for its band, quietly corrupting the top-k), so the
+    schedule is validated against ``index_depths`` — the depths the index
+    was built with, defaulting to ``probe_schedule(fcfg.k_per_tree)``
+    (what a default-built ``prefix_table`` stores). Pass ``index_depths``
+    explicitly if you built the prefix table with custom depths.
     """
+    if index_depths is None:
+        index_depths = probe_schedule(fcfg.k_per_tree)
     if schedule is None:
-        schedule = probe_schedule(fcfg.k_per_tree)
+        schedule = [d for d in index_depths]
     if schedule[-1] != 1 or any(
         schedule[i] <= schedule[i + 1] for i in range(len(schedule) - 1)
     ):
         raise ValueError("schedule must strictly descend and end at 1")
+    missing = set(schedule) - set(index_depths)
+    if missing:
+        raise ValueError(
+            f"scheduled depths {sorted(missing)} absent from the index "
+            f"(index_depths={sorted(set(index_depths))}); probing them "
+            "would silently yield zero candidates for those bands"
+        )
     q_sigs = query_sig_df.select(F.col(query_key), F.col(sig_col).alias("_qsig"))
     i_sigs = index_sig_df.select(F.col(index_key), F.col(sig_col).alias("_isig"))
     kpt = fcfg.k_per_tree
@@ -196,6 +234,11 @@ def topk_query(
         # array_position returns 0 when no mismatch exists (full match).
         pos = F.array_position(F.slice("_eq", t * kpt + 1, kpt), F.lit(False))
         return F.when(pos == 0, F.lit(kpt)).otherwise((pos - 1).cast("int"))
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
 
     active = query_sig_df.select(query_key)
     accumulated: DataFrame | None = None
@@ -236,16 +279,18 @@ def topk_query(
             .where((F.col("best_depth") >= d) & (F.col("best_depth") < prev_d))
             .select(query_key, index_key, "best_depth", "est_jaccard")
         )
-        accumulated = (
+        accumulated = _materialize(
             scored if accumulated is None else accumulated.unionByName(scored)
-        ).localCheckpoint(eager=True)
+        )
         if diagnostics is not None:
             rounds.append({"depth": d, "cumulative_rows": accumulated.count()})
         if d == 1:
             break
-        # `active` stays lazy: it is a cheap anti-join over the CHECKPOINTED
-        # accumulated frame, evaluated twice (isEmpty + next round's join)
-        # — cheaper than one more materialization job per round.
+        # Retire satisfied queries with a LAZY anti-join over the
+        # materialized accumulated frame; it evaluates inside the next
+        # round's probe join — no separate isEmpty/count job per round
+        # (an all-satisfied query set just makes the remaining rounds'
+        # joins trivially empty, cheaper than probing for emptiness).
         satisfied = (
             accumulated.groupBy(query_key)
             .count()
@@ -254,8 +299,6 @@ def topk_query(
         )
         active = active.join(satisfied, query_key, "left_anti")
         prev_d = d
-        if active.isEmpty():
-            break
     if diagnostics is not None:
         diagnostics["rounds"] = rounds
         diagnostics["candidate_rows"] = accumulated.count()

@@ -136,25 +136,45 @@ def test_forest_deepening_equals_full_enumeration_and_prunes(spark):
             expected[(q, rank)] = (d, -nb, -ne)
     assert got == expected
     # Pruning: every query satisfies at a deep round (cluster-mates match
-    # at or near full depth), so the hot shallow buckets are never probed.
+    # at or near full depth), so the hot shallow buckets are never probed —
+    # retired queries make the later rounds' joins empty.
     n_all_pairs = 8 * 47
     assert diag["candidate_rows"] < n_all_pairs / 2, diag
-    assert len(diag["rounds"]) < 5, diag  # early-exited before depth 1
+    assert len(diag["rounds"]) == 4, diag  # default schedule [16, 4, 2, 1]
     # Index storage holds only the probed depths: l_trees * |schedule|
-    # rows per doc (40), not num_perm (128).
+    # rows per doc (32), not num_perm (128).
     from datasketch_spark.operators.forest import probe_schedule
 
     n_depths = len(probe_schedule(fcfg.k_per_tree))
     assert prefixes.count() == 48 * fcfg.l_trees * n_depths
-    # A coarser valid schedule returns the identical top-k.
-    res2 = topk_query(
-        prefixes, queries, sig_df, fcfg, k=5, schedule=[16, 4, 1]
-    )
+    # A coarser valid sub-schedule returns the identical top-k.
+    res2 = topk_query(prefixes, queries, sig_df, fcfg, k=5, schedule=[16, 1])
     got2 = {
         (r["query_id"], r["rank"]): (r["doc_id"], r["best_depth"], r["est_jaccard"])
         for r in res2.collect()
     }
     assert got2 == expected
+    # A depth the index never stored must raise, not silently drop a band.
+    with pytest.raises(ValueError, match="absent from the index"):
+        topk_query(prefixes, queries, sig_df, fcfg, k=5, schedule=[8, 1])
+    # A finer index (factor-2 depths) serves a matching schedule via
+    # index_depths, still identical output.
+    fine_depths = probe_schedule(fcfg.k_per_tree, factor=2)
+    prefixes_fine = prefix_table(sig_df, fcfg, depths=fine_depths)
+    res3 = topk_query(
+        prefixes_fine,
+        queries,
+        sig_df,
+        fcfg,
+        k=5,
+        schedule=[16, 8, 2, 1],
+        index_depths=fine_depths,
+    )
+    got3 = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["best_depth"], r["est_jaccard"])
+        for r in res3.collect()
+    }
+    assert got3 == expected
 
 
 def test_ensemble_self_containment(spark):
@@ -216,6 +236,58 @@ def test_ensemble_band_pruning_equivalent_and_smaller(spark):
         for r in containment_query(full, queries, ecfg, parts).collect()
     }
     assert got_p == got_f
+
+
+def test_ensemble_size0_query_rows_dropped(spark):
+    # A size-0 query row (ratio = Infinity) must yield no candidates from
+    # either a pruned or an unpruned index — not silently probe bands the
+    # pruned index never materialized.
+    rng = np.random.RandomState(13)
+    rows = []
+    for i in range(20):
+        size = int(rng.randint(1, 60))
+        toks = [sha1_hash32(str(v).encode()) for v in range(size)]
+        rows.append((i, toks, size))
+    df = spark.createDataFrame(rows, TOKENS_SCHEMA)
+    udf = make_signature_from_tokens_udf(128, 1)
+    sigs = df.withColumn("sig", udf("tokens")).select("doc_id", "sig", "set_size")
+    ecfg = EnsembleConfig(threshold=0.8, num_perm=128, num_part=4, m=8)
+    parts = size_partitions(sigs, ecfg)
+    queries = sigs.select(
+        F.col("doc_id").alias("query_id"), "sig", "set_size"
+    ).withColumn(
+        "set_size", F.when(F.col("query_id") == 0, F.lit(0)).otherwise(F.col("set_size"))
+    )
+    got_p = {
+        (r["query_id"], r["doc_id"])
+        for r in containment_query(
+            ensemble_bands(sigs, ecfg, parts), queries, ecfg, parts
+        ).collect()
+    }
+    got_f = {
+        (r["query_id"], r["doc_id"])
+        for r in containment_query(
+            ensemble_bands(sigs, ecfg, parts, prune_unreachable=False),
+            queries,
+            ecfg,
+            parts,
+        ).collect()
+    }
+    assert got_p == got_f
+    assert not any(q == 0 for q, _ in got_p)
+
+
+def test_ivf_train_rejects_empty_or_zero_corpus(spark):
+    from datasketch_spark.operators.ann import train_ivf_centroids
+
+    zeros = spark.createDataFrame(
+        [(i, [0.0, 0.0, 0.0]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="non-zero vectors"):
+        train_ivf_centroids(zeros, n_lists=2)
+    empty = zeros.where("vec_id < 0")
+    with pytest.raises(ValueError, match="non-zero vectors"):
+        train_ivf_centroids(empty, n_lists=2)
 
 
 def test_optimal_partitions_matches_reference_dp():
