@@ -424,6 +424,79 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SimHash bucketed ANN (Charikar 2002; SURVEY.md 2.4 cosine-LSH scale
+    # path), STRONG-oracled: plant one near-duplicate per vector by
+    # halving its first coordinate (a native transform both engines
+    # compute bit-identically), then require the bucketed search to
+    # recover EVERY planted pair with its exact verified cosine. 8 tables
+    # x 16-bit signatures = 65536 buckets/table — genuinely sparse
+    # bucketing (measured sf0.1: 1.6s vs 61.5s for exact all-pairs), with
+    # analytic per-pair miss probability ~6e-10 at the planted sim
+    # (~0.9999), so the value-hash match against the exact-pair twin is
+    # deterministic. Non-planted pairs top out at cosine ~0.6 << 0.9.
+    from datasketch_spark.operators.ann import simhash_bucketed_pairs
+
+    e = F.col("embedding").cast("array<double>")
+    emb = _emb(spark, sf_dir)
+    base = emb.select("vec_id", e.alias("embedding"))
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(e, 1) * F.lit(0.5)), F.slice(e, 2, 63)
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(pert)
+    return simhash_bucketed_pairs(aug, min_sim=0.9, n_bits=16, n_tables=8, dim=64)
+
+
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Weighted MinHash (Ioffe consistent sampling; reference
+    # weighted_minhash.py:114-159), SELF-CHECKING: for 20 (even, odd)
+    # embedding pairs, the 128-sample estimate must sit within 0.15 of
+    # the exact generalized Jaccard sum(min)/sum(max) over |embedding|
+    # weights. 0.15 = 3.5 sigma at J~0.4 (sigma = sqrt(J(1-J)/128) =
+    # 0.043); measured max error 0.103 at sf0.01 / 0.060 at sf0.1, and
+    # the seeded Gamma draws make the estimate deterministic, so the
+    # oracle asserts wj_ok TRUE for every pair.
+    from datasketch_spark.functions.weighted import (
+        make_weighted_minhash_udf,
+        weighted_jaccard_col,
+    )
+
+    emb = _emb(spark, sf_dir)
+
+    def w(c: str):
+        return F.transform(F.col(c).cast("array<double>"), lambda x: F.abs(x))
+
+    a = emb.where("vec_id % 2 = 0 AND vec_id < 40").select(
+        F.col("vec_id").alias("a"), w("embedding").alias("_wa")
+    )
+    b = emb.where("vec_id % 2 = 1 AND vec_id < 40").select(
+        F.col("vec_id").alias("b"), w("embedding").alias("_wb")
+    )
+    pairs = a.join(b, F.col("b") == F.col("a") + 1)
+    udf = make_weighted_minhash_udf(dim=64, sample_size=128, seed=1)
+    est = weighted_jaccard_col(
+        udf(F.col("_wa").cast("array<float>")),
+        udf(F.col("_wb").cast("array<float>")),
+        sample_size=128,
+    )
+    wmin = F.aggregate(
+        F.zip_with("_wa", "_wb", lambda x, y: F.least(x, y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wmax = F.aggregate(
+        F.zip_with("_wa", "_wb", lambda x, y: F.greatest(x, y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return pairs.select(
+        "a", "b", (F.abs(est - wmin / wmax) <= 0.15).alias("wj_ok")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full near-dup pipeline over sf0.001 documents."""
     return q_minhash_dedup(spark, "/root/testdata/sf0.001")
@@ -448,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_cardinality": q_hll_cardinality,
         "hnsw_topk": q_hnsw_topk,
         "ivf_topk": q_ivf_topk,
+        "simhash_pairs": q_simhash_pairs,
+        "weighted_jaccard": q_weighted_jaccard,
         "lsh_query_words": q_lsh_query_words,
         "ensemble_containment": q_ensemble_containment,
         "forest_topk": q_forest_topk,
@@ -792,6 +867,33 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": """
             SELECT vec_id AS query_id, true AS recall_ok
             FROM embeddings WHERE vec_id < 20
+        """,
+        # SimHash STRONG twin: the exact cosine pairs (>= 0.9) over the
+        # same planted-near-dup augmentation — the bucketed search must
+        # recover every one with the identical verified sim, so this is a
+        # full value-hash match, not a fixed-TRUE self-check.
+        "simhash_pairs": """
+            WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            aug AS (
+              SELECT vec_id, e FROM v0
+              UNION ALL
+              SELECT vec_id + 1000000, list_prepend(e[1] * 0.5, e[2:]) FROM v0
+            ),
+            cos AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     round(list_inner_product(a.e, b.e) /
+                           (sqrt(list_inner_product(a.e, a.e)) *
+                            sqrt(list_inner_product(b.e, b.e))), 4) AS sim
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            )
+            SELECT a, b, sim FROM cos WHERE sim >= 0.9
+        """,
+        # Weighted-MinHash self-check twin (see q_weighted_jaccard: 3.5
+        # sigma tolerance, deterministic seeded draws).
+        "weighted_jaccard": """
+            SELECT a.vec_id AS a, b.vec_id AS b, true AS wj_ok
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+            WHERE a.vec_id % 2 = 0 AND a.vec_id < 40
         """,
         "lsh_candidates": _lsh_candidates_oracle(DedupConfig(threshold=0.5)),
         "minhash_dedup": _minhash_dedup_oracle(DedupConfig(threshold=0.5)),

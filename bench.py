@@ -60,6 +60,8 @@ def run_queries() -> None:
         "hll_cardinality",
         "hnsw_topk",
         "ivf_topk",
+        "simhash_pairs",
+        "weighted_jaccard",
         "lsh_query_words",
         "ensemble_containment",
         "forest_topk",
