@@ -4,14 +4,17 @@ with typed metadata, processed in Arrow-batched ``mapInPandas`` stages.
 Decode support is tiered by what this environment can actually do:
   - REAL decoders with zero external codecs: uncompressed BMP images
     (pure-numpy header parse + pixel view), non-interlaced 8-bit PNG
-    (chunk parse + stdlib zlib inflate + numpy scanline unfilter), and
-    PCM WAV audio (stdlib ``wave``), feeding real feature kernels
-    (block-mean image grid / RMS + zero-crossings + spectral shape).
-  - Formats that genuinely need codec libraries absent here (JPEG's DCT
-    entropy coding, MP3/MP4): those raise NotImplementedError naming the
-    dependency, and the seeded ``deterministic_fake`` stand-in keeps the
-    Spark-side plumbing — schema, batching, partitioning, UDF
-    signatures — testable end-to-end.
+    incl. paletted (chunk parse + stdlib zlib inflate + vectorized
+    scanline unfilter), GIF87a/89a first frame (pure-Python LZW,
+    interlace, local/global palettes), baseline TIFF (uncompressed +
+    PackBits strips, both byte orders), and PCM WAV audio (stdlib
+    ``wave``), feeding real feature kernels (block-mean image grid /
+    RMS + zero-crossings + spectral shape).
+  - Formats that genuinely need entropy codec libraries absent here
+    (JPEG's DCT coding, WebP, MP3/MP4): those raise NotImplementedError
+    naming the dependency, and the seeded ``deterministic_fake``
+    stand-in keeps the Spark-side plumbing — schema, batching,
+    partitioning, UDF signatures — testable end-to-end.
 
 At scale the binary payloads dominate I/O: keep them in their own parquet
 column (never in the shuffle key), process with mapInPandas so each Arrow
@@ -243,19 +246,219 @@ def decode_png(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgb)
 
 
+def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> bytearray:
+    """GIF-variant LZW (little-endian bit packing, variable 3-12 bit
+    codes, clear/end codes, deferred-clear tolerated) -> palette indexes.
+    Plain-int Python: whole stream as one big int, shift-and-mask reads.
+    """
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"bad GIF LZW minimum code size {min_code}")
+    clear = 1 << min_code
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    val = int.from_bytes(data, "little")
+    bitpos, n_bits = 0, len(data) * 8
+    while bitpos + code_size <= n_bits and len(out) < expected:
+        code = (val >> bitpos) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(base) - 2:
+                raise ValueError("corrupt GIF LZW stream (bad first code)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW stream (code out of range)")
+        # Widen once the NEXT code could reference the just-added slot.
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("truncated GIF pixel data")
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame -> (H, W, 3) uint8 RGB, pure Python + numpy:
+    header/descriptor parse, global or local color table, the GIF LZW
+    variant decoded with plain-int arithmetic, interlace de-weave.
+    Transparency is dropped (the transparent index renders its palette
+    color), later animation frames are ignored — this is the
+    feature-extraction path, not a renderer. Raises ValueError for
+    malformed payloads."""
+    if payload is None or len(payload) < 13 or payload[:4] != b"GIF8":
+        raise ValueError("not a GIF payload")
+    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+        pos += 3 * n
+
+    def _skip_subblocks(p: int) -> int:
+        while p < len(payload) and payload[p]:
+            p += 1 + payload[p]
+        return p + 1
+
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks
+            pos = _skip_subblocks(pos + 2)
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos]:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx_bytes = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+            idx = np.frombuffer(bytes(idx_bytes[: w * h]), np.uint8).reshape(h, w)
+            if iflags & 0x40:  # interlaced: 4-pass row order
+                de = np.empty_like(idx)
+                rows = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                de[rows] = idx
+                idx = de
+            if int(idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            return np.ascontiguousarray(pal[idx])
+        elif block == 0x3B:  # trailer before any image
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def _tiff_packbits(data: bytes, expected: int) -> bytearray:
+    """PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expected:
+        raise ValueError("truncated PackBits strip")
+    return out
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Baseline TIFF (first IFD) -> (H, W, 3) uint8 RGB, pure struct +
+    numpy: both byte orders (II/MM), strip layout, uncompressed
+    (compression=1) or PackBits (32773), 8-bit gray (replicated) or RGB
+    (extra samples dropped). Entropy-coded TIFF variants (LZW/JPEG/
+    deflate-compressed) raise NotImplementedError."""
+    if payload is None or len(payload) < 8 or payload[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(bo + "HI", payload, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF IFD")
+    (n_tags,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for t in range(n_tags):
+        off = ifd_off + 2 + 12 * t
+        tag, ttype, count = struct.unpack_from(bo + "HHI", payload, off)
+        if ttype not in type_size:
+            continue
+        sz = type_size[ttype] * count
+        src = off + 8
+        if sz > 4:
+            (src,) = struct.unpack_from(bo + "I", payload, off + 8)
+        fmt = {1: "B", 3: "H", 4: "I"}[ttype]
+        tags[tag] = list(struct.unpack_from(bo + str(count) + fmt, payload, src))
+    try:
+        w, h = tags[256][0], tags[257][0]
+        strip_offs, strip_lens = tags[273], tags[279]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}")
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8])
+    if any(b != 8 for b in bps) or spp not in (1, 3, 4):
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB(A) TIFF supported (bits={bps}, samples={spp})"
+        )
+    if comp not in (1, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} (LZW/JPEG/deflate) needs pillow; "
+            "only uncompressed and PackBits decode codec-free"
+        )
+    rps = tags.get(278, [h])[0]
+    raw = bytearray()
+    expected = w * h * spp
+    for i, (so, sl) in enumerate(zip(strip_offs, strip_lens)):
+        strip = payload[so : so + sl]
+        if comp == 1:
+            raw += strip
+        else:
+            rows_here = min(rps, h - i * rps)
+            raw += _tiff_packbits(strip, rows_here * w * spp)
+    if len(raw) < expected:
+        raise ValueError("truncated TIFF strip data")
+    px = np.frombuffer(bytes(raw[:expected]), np.uint8).reshape(h, w, spp)
+    if spp >= 3:
+        rgb = px[:, :, :3]
+    else:
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    return np.ascontiguousarray(rgb)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: BMP and PNG decode for real; formats whose
-    codecs are genuinely absent here (JPEG/GIF/WebP/TIFF) raise
-    NotImplementedError naming the dependency."""
+    """Dispatch on magic bytes: BMP, PNG, GIF, and baseline TIFF decode
+    for real; formats whose entropy codecs are genuinely absent here
+    (JPEG/WebP) raise NotImplementedError naming the dependency."""
     if payload is None or len(payload) < 8:
         raise ValueError("not an image payload")
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
+    if payload[:2] in (b"II", b"MM"):
+        return decode_tiff(payload)
     raise NotImplementedError(
-        "JPEG/GIF/WebP/TIFF need pillow; only BMP and non-interlaced "
-        "8-bit PNG decode codec-free"
+        "JPEG/WebP need pillow; BMP, PNG, GIF, and baseline TIFF decode "
+        "codec-free"
     )
 
 
@@ -380,8 +583,8 @@ REAL_FEATURES_SCHEMA = StructType(
 
 
 def image_features(media: DataFrame, grid: int = 8) -> DataFrame:
-    """REAL image feature extraction for BMP and PNG payloads:
-    (media_id, feature[grid*grid] luminance block-means, status).
+    """REAL image feature extraction for BMP/PNG/GIF/baseline-TIFF
+    payloads: (media_id, feature[grid*grid] luminance block-means, status).
 
     Undecodable payloads yield a null feature + status naming the reason —
     a 100TB run must quarantine bad rows, not die on them. Codec-requiring
@@ -395,7 +598,13 @@ def image_features(media: DataFrame, grid: int = 8) -> DataFrame:
                 try:
                     feats.append(image_grid_feature(decode_image(p), grid).tolist())
                     status.append("ok")
-                except (ValueError, NotImplementedError, struct.error, zlib.error) as e:
+                except (
+                    ValueError,
+                    NotImplementedError,
+                    struct.error,
+                    zlib.error,
+                    IndexError,
+                ) as e:
                     feats.append(None)
                     status.append(f"{type(e).__name__}: {e}"[:120])
             yield pd.DataFrame(

@@ -243,6 +243,249 @@ def test_png_paletted_decodes_via_plte():
         decode_png(encode_png(idx, 3, palette=palette[:5]))
 
 
+def _lzw_encode(indexes: bytes, min_code: int) -> bytes:
+    """Independent test-side GIF LZW encoder (spec algorithm: string table,
+    variable width synced to the decoder's widen-on-table-fill rule)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = clear + 2
+    code_size = min_code + 1
+    val, nbits, out = 0, 0, bytearray()
+
+    def emit(code, size):
+        nonlocal val, nbits
+        val |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(val & 0xFF)
+            val >>= 8
+            nbits -= 8
+
+    emit(clear, code_size)
+    w = b""
+    for ch in indexes:
+        c = bytes([ch])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], code_size)
+        table[w + c] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code > 4095:
+            emit(clear, code_size)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = clear + 2
+            code_size = min_code + 1
+        w = c
+    if w:
+        emit(table[w], code_size)
+    emit(end, code_size)
+    if nbits:
+        out.append(val & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    local_palette: bool = False,
+    min_code: int | None = None,
+) -> bytes:
+    """Minimal stdlib GIF89a writer (test-side oracle): one frame, global
+    or local color table, optional interlacing, real LZW stream."""
+    h, w = idx.shape
+    if interlace:
+        rows = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        idx = idx[rows]
+    n = len(palette)
+    ctbits = max(2, (n - 1).bit_length())
+    pal_bytes = np.zeros(((1 << ctbits), 3), np.uint8)
+    pal_bytes[:n] = palette
+    mc = min_code if min_code is not None else max(2, ctbits)
+    out = bytearray(b"GIF89a")
+    gflag = 0 if local_palette else 0x80 | (ctbits - 1)
+    out += struct.pack("<HHBBB", w, h, gflag, 0, 0)
+    if not local_palette:
+        out += pal_bytes.tobytes()
+    # A comment extension block: the parser must skip it.
+    out += b"\x21\xfe\x05hello\x00"
+    iflag = (0x40 if interlace else 0) | (0x80 | (ctbits - 1) if local_palette else 0)
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflag)
+    if local_palette:
+        out += pal_bytes.tobytes()
+    out += bytes([mc])
+    stream = _lzw_encode(idx.astype(np.uint8).tobytes(), mc)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_tiff(
+    px: np.ndarray, big_endian: bool = False, packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal stdlib baseline-TIFF writer (test-side oracle): 8-bit
+    gray/RGB, strips, optional PackBits, either byte order."""
+    bo = ">" if big_endian else "<"
+    h, w = px.shape[:2]
+    spp = px.shape[2] if px.ndim == 3 else 1
+    rps = rows_per_strip or h
+    flat = px.reshape(h, w * spp).astype(np.uint8)
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = flat[y0 : y0 + rps].tobytes()
+        if packbits:
+            enc = bytearray()
+            i = 0
+            while i < len(raw):
+                # literal-only PackBits (valid, if not maximally compact)
+                run = min(128, len(raw) - i)
+                enc += bytes([run - 1]) + raw[i : i + run]
+                i += run
+            strips.append(bytes(enc))
+        else:
+            strips.append(raw)
+    n_strips = len(strips)
+    # layout: header(8) | strip data | bps array (if spp==3) | IFD
+    data_off = 8
+    offs, lens = [], []
+    pos = data_off
+    for s in strips:
+        offs.append(pos)
+        lens.append(len(s))
+        pos += len(s)
+    bps_off = pos
+    bps_extra = b""
+    if spp >= 3:
+        bps_extra = struct.pack(bo + f"{spp}H", *([8] * spp))
+        pos += len(bps_extra)
+    ifd_off = pos
+
+    def tag(tid, ttype, count, value, inline_fmt=None):
+        if inline_fmt:
+            v = struct.pack(bo + inline_fmt, *value) if isinstance(value, (list, tuple)) else struct.pack(bo + inline_fmt, value)
+            v = v.ljust(4, b"\x00")
+            return struct.pack(bo + "HHI", tid, ttype, count) + v
+        return struct.pack(bo + "HHII", tid, ttype, count, value)
+
+    entries = [
+        tag(256, 3, 1, w, "H"),
+        tag(257, 3, 1, h, "H"),
+    ]
+    if spp >= 3:
+        entries.append(tag(258, 3, spp, bps_off))
+    else:
+        entries.append(tag(258, 3, 1, 8, "H"))
+    entries.append(tag(259, 3, 1, 32773 if packbits else 1, "H"))
+    entries.append(tag(262, 3, 1, 2 if spp >= 3 else 1, "H"))
+    if n_strips == 1:
+        entries.append(tag(273, 4, 1, offs[0], "I"))
+        entries.append(tag(277, 3, 1, spp, "H"))
+        entries.append(tag(278, 3, 1, rps, "H"))
+        entries.append(tag(279, 4, 1, lens[0], "I"))
+    else:
+        strip_arr_off = ifd_off + 2 + 12 * 9 + 4
+        entries.append(tag(273, 4, n_strips, strip_arr_off))
+        entries.append(tag(277, 3, 1, spp, "H"))
+        entries.append(tag(278, 3, 1, rps, "H"))
+        entries.append(tag(279, 4, n_strips, strip_arr_off + 4 * n_strips))
+    entries.sort(key=lambda e: struct.unpack(bo + "H", e[:2])[0])
+    ifd = struct.pack(bo + "H", len(entries)) + b"".join(entries) + struct.pack(bo + "I", 0)
+    tail = b""
+    if n_strips > 1:
+        tail = struct.pack(bo + f"{n_strips}I", *offs) + struct.pack(
+            bo + f"{n_strips}I", *lens
+        )
+    header = struct.pack(bo + "2sHI", b"MM" if big_endian else b"II", 42, ifd_off)
+    return header + b"".join(strips) + bps_extra + ifd + tail
+
+
+def test_gif_roundtrip_paths():
+    from datasketch_spark.operators.multimodal import decode_gif
+
+    rng = np.random.RandomState(46)
+    palette = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(13, 9)).astype(np.uint8)
+    want = palette[idx]
+    # global palette, plain
+    assert np.array_equal(decode_gif(encode_gif(idx, palette)), want)
+    # local palette
+    assert np.array_equal(
+        decode_gif(encode_gif(idx, palette, local_palette=True)), want
+    )
+    # interlaced
+    assert np.array_equal(
+        decode_gif(encode_gif(idx, palette, interlace=True)), want
+    )
+    # structured data (runs) exercises the dictionary-growth path;
+    # a big random frame forces multiple code widths
+    big = rng.randint(0, 16, size=(64, 64)).astype(np.uint8)
+    big[:16] = 3  # long runs -> KwKwK cases
+    assert np.array_equal(decode_gif(encode_gif(big, palette)), palette[big])
+    # 2-color (min_code clamps to 2)
+    bw = np.array([[0, 1, 1, 0], [1, 0, 0, 1]], np.uint8)
+    bwpal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(bw, bwpal)), bwpal[bw])
+    # malformed payloads raise ValueError
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a\x00")
+    with pytest.raises(ValueError):
+        decode_gif(encode_gif(idx, palette)[:30])
+
+
+def test_tiff_roundtrip_paths():
+    from datasketch_spark.operators.multimodal import decode_tiff
+
+    rng = np.random.RandomState(47)
+    rgb = rng.randint(0, 256, size=(11, 7, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, size=(6, 5)).astype(np.uint8)
+    for big_endian in (False, True):
+        for packbits in (False, True):
+            got = decode_tiff(encode_tiff(rgb, big_endian, packbits))
+            assert np.array_equal(got, rgb), (big_endian, packbits)
+    # gray replicated to RGB; multi-strip layout
+    got = decode_tiff(encode_tiff(gray, rows_per_strip=2))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    got = decode_tiff(encode_tiff(rgb, packbits=True, rows_per_strip=3))
+    assert np.array_equal(got, rgb)
+    # entropy-coded compression names the dependency
+    bad = bytearray(encode_tiff(rgb))
+    with pytest.raises(NotImplementedError, match="pillow"):
+        from datasketch_spark.operators.multimodal import decode_image
+
+        # compression tag patch: find tag 259 and set value to 5 (LZW)
+        import struct as _s
+
+        ifd_off = _s.unpack_from("<I", bad, 4)[0]
+        (n_tags,) = _s.unpack_from("<H", bad, ifd_off)
+        for t in range(n_tags):
+            off = ifd_off + 2 + 12 * t
+            if _s.unpack_from("<H", bad, off)[0] == 259:
+                _s.pack_into("<H", bad, off + 8, 5)
+        decode_image(bytes(bad))
+
+
+def test_decode_image_dispatch_gif_tiff():
+    from datasketch_spark.operators.multimodal import decode_image
+
+    rng = np.random.RandomState(48)
+    palette = rng.randint(0, 256, size=(8, 3)).astype(np.uint8)
+    idx = rng.randint(0, 8, size=(5, 5)).astype(np.uint8)
+    assert decode_image(encode_gif(idx, palette)).shape == (5, 5, 3)
+    rgb = rng.randint(0, 256, size=(5, 5, 3)).astype(np.uint8)
+    assert decode_image(encode_tiff(rgb)).shape == (5, 5, 3)
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(b"\xff\xd8\xff\xe0JFIF\x00\x00")
+
+
 def test_png_roundtrip_edge_shapes():
     # Degenerate rasters (1-pixel rows/columns, single row, each channel
     # mode) exercise the bpp-boundary branches of every unfilter path.
