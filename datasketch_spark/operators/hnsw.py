@@ -33,8 +33,10 @@ query batch pays deserialize + search, never the O(n log n) insert work.
 Scale notes: the graph is executor-local state (never shuffled, never on
 the driver); partitions should be sized so points_per_partition x dim x 8
 bytes fits executor memory. Query batches broadcast through the UDF
-closure — the standard "small probe side" assumption (use LSH/SimHash
-bucketing for corpus x corpus joins instead).
+closure — the standard "small probe side" assumption; for table-sized
+query sets ``PartitionedHNSW.query_df`` runs the fully distributed
+chunked cross join with no driver collect (use LSH/SimHash bucketing for
+corpus x corpus joins instead).
 """
 
 from __future__ import annotations
@@ -622,6 +624,70 @@ class PartitionedHNSW:
                 )
 
         per_part = self.blobs.mapInPandas(_search, _OUT_SCHEMA)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("neighbor_id").asc()
+        )
+        return per_part.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+
+    def query_df(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        ef_search: int | None = None,
+        query_id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        exclude_self: bool = True,
+        n_query_chunks: int = 8,
+    ) -> DataFrame:
+        """FULLY DISTRIBUTED query path: same output contract as ``query``
+        but the query set is never collected to the driver.
+
+        Queries are hash-bucketed into ``n_query_chunks`` groups, each
+        group packed into one row (collect_list of structs), and the
+        n_chunks x n_blobs cross join runs one task per (graph, chunk):
+        deserialize the partition graph once, search the chunk's queries,
+        emit candidates; the usual window merge takes the global top-k.
+        Use this when the query batch is itself table-sized (the
+        closure-broadcast ``query`` path is cheaper for small probes);
+        size chunks so a (blob + chunk) pair fits a task comfortably —
+        total work is n_blobs x n_queries searches either way.
+        """
+        chunked = (
+            queries.select(
+                F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_query_chunks)).alias(
+                    "_chunk"
+                ),
+                F.struct(
+                    F.col(query_id_col).cast("long").alias("qid"),
+                    F.col(vec_col).alias("qv"),
+                ).alias("_q"),
+            )
+            .groupBy("_chunk")
+            .agg(F.collect_list("_q").alias("_qbatch"))
+        )
+        kk = k + 1 if exclude_self else k
+
+        def _search(batches):
+            for pdf in batches:
+                out_q, out_n, out_d = [], [], []
+                for blob, qbatch in zip(pdf["blob"], pdf["_qbatch"]):
+                    index = pickle.loads(blob)
+                    for q in qbatch:
+                        qid = int(q["qid"])
+                        qv = np.asarray(q["qv"], dtype=np.float64)
+                        for nid, d in index.query(qv, kk, ef_search):
+                            if exclude_self and nid == qid:
+                                continue
+                            out_q.append(qid)
+                            out_n.append(int(nid))
+                            out_d.append(float(d))
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "dist": out_d}
+                )
+
+        per_part = self.blobs.crossJoin(chunked).mapInPandas(_search, _OUT_SCHEMA)
         w = Window.partitionBy("query_id").orderBy(
             F.col("dist").asc(), F.col("neighbor_id").asc()
         )

@@ -56,7 +56,16 @@ def main() -> None:
     index = PartitionedHNSW(vectors, distance="cosine", n_partitions=4)
     index.query(queries, k=3).show(6)
     index.query(vectors.where("vec_id % 100 = 7"), k=3).show(6)
+
+    print("=== HNSW: persist, reload, distributed table-sized queries ===")
+    store = "/tmp/ann_example_hnsw"
+    index.save(store)
     index.unpersist()
+    reloaded = PartitionedHNSW.load(spark, store, expected_config=index.config)
+    # query_df never collects the query set: chunked crossJoin over the
+    # saved graphs — the shape for query batches that are themselves big.
+    reloaded.query_df(vectors.where("vec_id % 50 = 1"), k=3).show(6)
+    reloaded.unpersist()
 
 
 if __name__ == "__main__":

@@ -267,6 +267,29 @@ def test_hnsw_topk_custom_distance_callable(spark):
         assert [n_ for _, n_ in sorted(got[qid])] == want, qid
 
 
+def test_partitioned_hnsw_query_df_matches_collected_path(spark):
+    # The fully distributed chunked-crossJoin path must reproduce the
+    # closure-broadcast query path exactly (same graphs, same merge).
+    rng = np.random.RandomState(12)
+    n, dim, k = 250, 7, 4
+    pts = rng.rand(n, dim)
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    pidx = PartitionedHNSW(df, m=8, ef_construction=64, n_partitions=3)
+    q = df.where("vec_id % 11 = 0")
+    want = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["dist"])
+        for r in pidx.query(q, k=k).collect()
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["neighbor_id"], r["dist"])
+        for r in pidx.query_df(q, k=k, n_query_chunks=4).collect()
+    )
+    assert got == want
+    pidx.unpersist()
+
+
 def test_partitioned_hnsw_save_load_roundtrip(spark, tmp_path):
     # Build -> save -> load (fresh object, no rebuild) -> identical top-k;
     # a config digest mismatch on load fails fast.
