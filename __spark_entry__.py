@@ -497,6 +497,25 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHashLSHBloom prefilter (reference lsh_bloom.py:298-372),
+    # SELF-CHECKING on the Bloom contract that is exact by construction:
+    # NO FALSE NEGATIVES. Every indexed doc's own band buckets are set in
+    # the filter, so membership for the indexed docs themselves must flag
+    # TRUE — any bitmap/hash/sharding bug breaks the hash match. (False
+    # positives are the probabilistic side; they cannot appear here
+    # because only indexed docs are probed.)
+    from datasketch_spark.operators.bloom import LSHBloomFilter
+
+    cfg = DedupConfig(threshold=0.5)
+    indexed = _docs(spark, sf_dir).where("doc_id < 250").select("doc_id", "text")
+    sigs = with_signature(indexed, cfg)
+    bloom = LSHBloomFilter(sigs, cfg)
+    return bloom.mark_candidates(sigs).select(
+        "doc_id", F.col("maybe_dup").alias("indexed_hit")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full near-dup pipeline over sf0.001 documents."""
     return q_minhash_dedup(spark, "/root/testdata/sf0.001")
@@ -523,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "simhash_pairs": q_simhash_pairs,
         "weighted_jaccard": q_weighted_jaccard,
+        "bloom_gate": q_bloom_gate,
         "lsh_query_words": q_lsh_query_words,
         "ensemble_containment": q_ensemble_containment,
         "forest_topk": q_forest_topk,
@@ -894,6 +914,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b, true AS wj_ok
             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
             WHERE a.vec_id % 2 = 0 AND a.vec_id < 40
+        """,
+        # Bloom no-false-negative twin: indexed docs must self-hit.
+        "bloom_gate": """
+            SELECT doc_id, true AS indexed_hit
+            FROM documents WHERE doc_id < 250
         """,
         "lsh_candidates": _lsh_candidates_oracle(DedupConfig(threshold=0.5)),
         "minhash_dedup": _minhash_dedup_oracle(DedupConfig(threshold=0.5)),

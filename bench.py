@@ -62,6 +62,7 @@ def run_queries() -> None:
         "ivf_topk",
         "simhash_pairs",
         "weighted_jaccard",
+        "bloom_gate",
         "lsh_query_words",
         "ensemble_containment",
         "forest_topk",
