@@ -486,6 +486,104 @@ def test_decode_image_dispatch_gif_tiff():
         decode_image(b"\xff\xd8\xff\xe0JFIF\x00\x00")
 
 
+def test_image_features_decodes_gif_tiff_rows(spark):
+    # The quarantine mapInPandas path must handle all four real formats
+    # in one batch and produce identical features for identical pixels.
+    rng = np.random.RandomState(49)
+    px = rng.randint(0, 256, size=(8, 8, 3)).astype(np.uint8)
+    pal = px.reshape(-1, 3)[:64]
+    idx = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    media = spark.createDataFrame(
+        [
+            (1, encode_png(px, 2)),
+            (2, encode_bmp(px)),
+            (3, encode_tiff(px)),
+            (4, encode_gif(idx, pal)),  # same pixels via palette
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_features(media, grid=4).collect()}
+    assert all(rows[i]["status"] == "ok" for i in (1, 2, 3, 4))
+    assert rows[1]["feature"] == rows[2]["feature"] == rows[3]["feature"]
+    assert rows[1]["feature"] == rows[4]["feature"]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        n_colors=st.integers(2, 32),
+        interlace=st.booleans(),
+        data=st.data(),
+    )
+    def test_gif_lzw_roundtrip_fuzz(h, w, n_colors, interlace, data):
+        from datasketch_spark.operators.multimodal import decode_gif
+
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.RandomState(seed)
+        pal = rng.randint(0, 256, size=(n_colors, 3)).astype(np.uint8)
+        idx = rng.randint(0, n_colors, size=(h, w)).astype(np.uint8)
+        got = decode_gif(encode_gif(idx, pal, interlace=interlace))
+        assert np.array_equal(got, pal[idx])
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 10),
+        w=st.integers(1, 10),
+        ch=st.sampled_from([1, 3]),
+        packbits=st.booleans(),
+        big_endian=st.booleans(),
+        rps=st.integers(1, 10),
+        data=st.data(),
+    )
+    def test_tiff_roundtrip_fuzz(h, w, ch, packbits, big_endian, rps, data):
+        from datasketch_spark.operators.multimodal import decode_tiff
+
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.RandomState(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        got = decode_tiff(
+            encode_tiff(px, big_endian=big_endian, packbits=packbits, rows_per_strip=rps)
+        )
+        want = px if ch == 3 else np.repeat(px[:, :, None], 3, axis=2)
+        assert np.array_equal(got, want)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        h=st.integers(1, 10),
+        w=st.integers(1, 10),
+        ctype=st.sampled_from([0, 2, 3, 4, 6]),
+        data=st.data(),
+    )
+    def test_png_roundtrip_fuzz(h, w, ctype, data):
+        seed = data.draw(st.integers(0, 2**31 - 1))
+        rng = np.random.RandomState(seed)
+        filters = [data.draw(st.integers(0, 4)) for _ in range(h)]
+        if ctype == 3:
+            pal = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+            idx = rng.randint(0, 16, size=(h, w, 1)).astype(np.uint8)
+            got = decode_png(encode_png(idx, 3, filters, palette=pal))
+            assert np.array_equal(got, pal[idx[:, :, 0]])
+            return
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        px = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+        got = decode_png(encode_png(px, ctype, filters))
+        want = np.repeat(px[:, :, :1], 3, axis=2) if ch <= 2 else px[:, :, :3]
+        assert np.array_equal(got, want)
+
+
 def test_png_roundtrip_edge_shapes():
     # Degenerate rasters (1-pixel rows/columns, single row, each channel
     # mode) exercise the bpp-boundary branches of every unfilter path.
