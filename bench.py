@@ -49,7 +49,9 @@ def run_queries() -> None:
         "dedup_with_substring",
         "lsh_candidates",
         "substring_edges",
+        "substring_match_len",
         "exact_dup_groups",
+        "fingerprints",
         "word_jaccard_pairs",
         "ngram_jaccard_pairs",
         "cosine_topk",
