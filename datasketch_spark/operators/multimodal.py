@@ -294,23 +294,33 @@ def _gif_lzw_decode(data: bytes, min_code: int, expected: int) -> bytearray:
     return out
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
-    """GIF87a/89a first frame -> (H, W, 3) uint8 RGB, pure Python + numpy:
-    header/descriptor parse, global or local color table, the GIF LZW
-    variant decoded with plain-int arithmetic, interlace de-weave.
-    Transparency is dropped (the transparent index renders its palette
-    color), later animation frames are ignored — this is the
-    feature-extraction path, not a renderer. Raises ValueError for
-    malformed payloads."""
+def gif_frames(payload: bytes):
+    """Animated GIF87a/89a -> iterator of (composed (H, W, 3) uint8 RGB
+    canvas, delay_ms) per frame, pure Python + numpy.
+
+    Real composition per the spec: frames paint their (left, top, w, h)
+    rect onto the logical-screen canvas; transparent pixels (graphic
+    control extension) leave the canvas through; disposal methods
+    0/1 (keep), 2 (restore rect to background), 3 (restore previous
+    canvas) are honored between frames. The canvas starts as the
+    background color (black if the background index has no color table
+    entry). Raises ValueError for malformed payloads."""
     if payload is None or len(payload) < 13 or payload[:4] != b"GIF8":
         raise ValueError("not a GIF payload")
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
         gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(n, 3)
         pos += 3 * n
+    bg_rgb = (
+        gct[bg_idx] if gct is not None and bg_idx < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    # Pending graphic-control state (reset after each image).
+    disposal, delay_ms, trans_idx = 0, 0, None
 
     def _skip_subblocks(p: int) -> int:
         while p < len(payload) and payload[p]:
@@ -320,9 +330,15 @@ def decode_gif(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         block = payload[pos]
         if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos + 1] if pos + 1 < len(payload) else 0
+            if label == 0xF9 and pos + 7 <= len(payload) and payload[pos + 2] >= 4:
+                packed = payload[pos + 3]
+                disposal = (packed >> 2) & 0x07
+                delay_ms = struct.unpack_from("<H", payload, pos + 4)[0] * 10
+                trans_idx = payload[pos + 6] if packed & 0x01 else None
             pos = _skip_subblocks(pos + 2)
         elif block == 0x2C:  # image descriptor
-            _left, _top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos + 1)
             pos += 10
             pal = gct
             if iflags & 0x80:
@@ -338,6 +354,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 ln = payload[pos]
                 chunks.append(payload[pos + 1 : pos + 1 + ln])
                 pos += 1 + ln
+            pos += 1  # block terminator
             idx_bytes = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
             idx = np.frombuffer(bytes(idx_bytes[: w * h]), np.uint8).reshape(h, w)
             if iflags & 0x40:  # interlaced: 4-pass row order
@@ -350,11 +367,36 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 idx = de
             if int(idx.max(initial=0)) >= len(pal):
                 raise ValueError("GIF palette index out of range")
-            return np.ascontiguousarray(pal[idx])
-        elif block == 0x3B:  # trailer before any image
-            break
+            if top + h > sh or left + w > sw:
+                raise ValueError("GIF frame rect exceeds logical screen")
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top : top + h, left : left + w]
+            rgb = pal[idx]
+            if trans_idx is not None:
+                mask = (idx != trans_idx)[:, :, None]
+                region[:] = np.where(mask, rgb, region)
+            else:
+                region[:] = rgb
+            yield canvas.copy(), delay_ms
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3:
+                canvas = prev
+            disposal, delay_ms, trans_idx = 0, 0, None
+        elif block == 0x3B:  # trailer
+            return
         else:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a first frame -> (H, W, 3) uint8 RGB: the first composed
+    canvas from ``gif_frames`` (transparent pixels of frame 1 show the
+    background color; later animation frames are ignored — use
+    ``gif_frames``/``gif_frame_features`` for the animation). Raises
+    ValueError for malformed payloads."""
+    for frame, _delay in gif_frames(payload):
+        return frame
     raise ValueError("GIF contains no image frame")
 
 
@@ -643,6 +685,93 @@ def audio_features(media: DataFrame, n_bins: int = 13) -> DataFrame:
     )
 
 
+REAL_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("t_ms", IntegerType(), False),
+        StructField("frame_feature", ArrayType(FloatType()), True),
+        StructField("status", StringType(), False),
+    ]
+)
+
+
+def gif_frame_features(
+    media: DataFrame,
+    every_ms: int = 100,
+    grid: int = 8,
+    max_samples: int = 64,
+) -> DataFrame:
+    """REAL frame sampling for animated GIF payloads: (media_id,
+    frame_idx, t_ms, frame_feature[grid*grid], status) — one row per
+    sample time t = 0, every_ms, 2*every_ms, ... across the animation's
+    delay timeline, each carrying the luminance block-mean feature of
+    the frame COMPOSED at that instant (``gif_frames`` honors disposal
+    and transparency). frame_idx is the decode-order index of the frame
+    on screen at t_ms; a zero-delay/static GIF yields exactly one sample
+    (t=0). ``max_samples`` caps rows per media row — when it fires the
+    row's status reads 'ok_truncated' (no silent caps). Undecodable
+    payloads quarantine as one (frame_idx=-1, null feature) row, same
+    contract as ``image_features``."""
+
+    def _extract(batches):
+        for pdf in batches:
+            mids, fidxs, tmss, feats, status = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = list(gif_frames(p))
+                    if not frames:
+                        raise ValueError("GIF contains no image frame")
+                    starts = [0]
+                    for _, delay in frames[:-1]:
+                        starts.append(starts[-1] + delay)
+                    total = starts[-1] + frames[-1][1]
+                    feat_cache: dict[int, list] = {}
+                    n_emitted, t, i = 0, 0, 0
+                    truncated = False
+                    while True:
+                        while i + 1 < len(frames) and starts[i + 1] <= t:
+                            i += 1
+                        if i not in feat_cache:
+                            feat_cache[i] = image_grid_feature(
+                                frames[i][0], grid
+                            ).tolist()
+                        mids.append(mid)
+                        fidxs.append(i)
+                        tmss.append(t)
+                        feats.append(feat_cache[i])
+                        status.append("ok")
+                        n_emitted += 1
+                        t += every_ms
+                        if t >= total:
+                            break
+                        if n_emitted >= max_samples:
+                            truncated = True
+                            break
+                    if truncated:
+                        for j in range(len(status) - n_emitted, len(status)):
+                            status[j] = "ok_truncated"
+                except (ValueError, NotImplementedError, struct.error, IndexError) as e:
+                    mids.append(mid)
+                    fidxs.append(-1)
+                    tmss.append(0)
+                    feats.append(None)
+                    status.append(f"{type(e).__name__}: {e}"[:120])
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": fidxs,
+                    "t_ms": tmss,
+                    "frame_feature": feats,
+                    "status": status,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _extract, schema=REAL_FRAME_SCHEMA
+    )
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
@@ -662,8 +791,9 @@ def sample_frames(
     the mapInPandas fan-out shape for frame extraction)."""
     if not deterministic_fake:
         raise NotImplementedError(
-            "real frame sampling requires ffmpeg — not installed; "
-            "use deterministic_fake=True"
+            "real frame sampling requires ffmpeg for MP4/WebM — not "
+            "installed; animated GIFs have a REAL path in "
+            "gif_frame_features; use deterministic_fake=True for the rest"
         )
 
     def _frames(batches):

@@ -486,6 +486,129 @@ def test_decode_image_dispatch_gif_tiff():
         decode_image(b"\xff\xd8\xff\xe0JFIF\x00\x00")
 
 
+def encode_animated_gif(frames, palette, sw, sh, bg_idx=0) -> bytes:
+    """Multi-frame GIF89a writer: each frame dict carries idx (2-D array),
+    left/top, delay_ms, disposal, trans_idx."""
+    n = len(palette)
+    ctbits = max(2, (n - 1).bit_length())
+    pal_bytes = np.zeros(((1 << ctbits), 3), np.uint8)
+    pal_bytes[:n] = palette
+    mc = max(2, ctbits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | (ctbits - 1), bg_idx, 0)
+    out += pal_bytes.tobytes()
+    for f in frames:
+        trans = f.get("trans_idx")
+        packed = (f.get("disposal", 0) << 2) | (1 if trans is not None else 0)
+        out += (
+            b"\x21\xf9\x04"
+            + bytes([packed])
+            + struct.pack("<H", f.get("delay_ms", 0) // 10)
+            + bytes([trans if trans is not None else 0])
+            + b"\x00"
+        )
+        idx = np.asarray(f["idx"], dtype=np.uint8)
+        h, w = idx.shape
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", f.get("left", 0), f.get("top", 0), w, h, 0
+        )
+        stream = _lzw_encode(idx.tobytes(), mc)
+        out += bytes([mc])
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_composition():
+    from datasketch_spark.operators.multimodal import gif_frames
+
+    # palette: 0=black (bg), 1=red, 2=green, 3=blue
+    pal = np.array(
+        [[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8
+    )
+    red = np.full((4, 4), 1, np.uint8)
+    green2 = np.full((2, 2), 2, np.uint8)
+    trans_blue = np.array([[3, 0], [0, 3]], np.uint8)  # 0 = transparent
+    data = encode_animated_gif(
+        [
+            {"idx": red, "delay_ms": 100, "disposal": 1},
+            {"idx": green2, "left": 1, "top": 1, "delay_ms": 100, "disposal": 2},
+            {"idx": trans_blue, "delay_ms": 100, "trans_idx": 0, "disposal": 3},
+            {"idx": green2, "left": 2, "top": 2, "delay_ms": 100},
+        ],
+        pal,
+        4,
+        4,
+    )
+    frames = list(gif_frames(data))
+    assert [d for _, d in frames] == [100, 100, 100, 100]
+    f1, f2, f3, f4 = (f for f, _ in frames)
+    RED, GREEN, BLUE, BLACK = pal[1], pal[2], pal[3], pal[0]
+    assert np.array_equal(f1, np.tile(RED, (4, 4, 1)))
+    # frame 2: red canvas with a green 2x2 at (1,1)
+    want2 = np.tile(RED, (4, 4, 1))
+    want2[1:3, 1:3] = GREEN
+    assert np.array_equal(f2, want2)
+    # frame 3: disposal-2 restored (1:3,1:3) to bg black, then the
+    # transparent-blue frame painted at (0,0): blue at (0,0) and (1,1),
+    # transparency leaving red/black visible at (0,1)/(1,0).
+    want3 = np.tile(RED, (4, 4, 1))
+    want3[1:3, 1:3] = BLACK
+    want3[0, 0] = BLUE
+    want3[1, 1] = BLUE
+    assert np.array_equal(f3, want3)
+    # frame 4: disposal-3 restored the pre-frame-3 canvas, then green at (2,2)
+    want4 = np.tile(RED, (4, 4, 1))
+    want4[1:3, 1:3] = BLACK
+    want4[2:4, 2:4] = GREEN
+    assert np.array_equal(f4, want4)
+
+
+def test_gif_frame_features_timeline(spark):
+    from datasketch_spark.operators.multimodal import gif_frame_features
+
+    pal = np.array([[0, 0, 0], [255, 255, 255], [128, 128, 128], [64, 64, 64]], np.uint8)
+    frames = [
+        {"idx": np.full((4, 4), 1, np.uint8), "delay_ms": 200},
+        {"idx": np.full((4, 4), 2, np.uint8), "delay_ms": 100},
+        {"idx": np.full((4, 4), 3, np.uint8), "delay_ms": 100},
+    ]
+    anim = encode_animated_gif(frames, pal, 4, 4)
+    static = encode_gif(np.full((3, 3), 2, np.uint8), pal)
+    media = spark.createDataFrame(
+        [(1, anim), (2, static), (3, b"not a gif")],
+        "media_id long, payload binary",
+    )
+    rows = gif_frame_features(media, every_ms=100, grid=2).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    # timeline 0..400ms at 100ms: frame 0 shows at t=0,100; 1 at 200; 2 at 300
+    anim_rows = sorted(by_media[1], key=lambda r: r["t_ms"])
+    assert [(r["t_ms"], r["frame_idx"]) for r in anim_rows] == [
+        (0, 0), (100, 0), (200, 1), (300, 2),
+    ]
+    assert all(r["status"] == "ok" for r in anim_rows)
+    # white frame feature = 1.0 everywhere at t=0
+    assert all(abs(v - 1.0) < 1e-6 for v in anim_rows[0]["frame_feature"])
+    # static GIF: exactly one sample at t=0
+    assert [(r["t_ms"], r["frame_idx"], r["status"]) for r in by_media[2]] == [
+        (0, 0, "ok")
+    ]
+    # quarantine row
+    assert by_media[3][0]["frame_idx"] == -1
+    assert by_media[3][0]["frame_feature"] is None
+    # truncation cap is visible, not silent
+    rows_cap = gif_frame_features(
+        media.where("media_id = 1"), every_ms=100, max_samples=2
+    ).collect()
+    assert len(rows_cap) == 2
+    assert all(r["status"] == "ok_truncated" for r in rows_cap)
+
+
 def test_image_features_decodes_gif_tiff_rows(spark):
     # The quarantine mapInPandas path must handle all four real formats
     # in one batch and produce identical features for identical pixels.
