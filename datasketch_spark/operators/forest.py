@@ -125,7 +125,15 @@ def prefix_table(
             )
     out = sig_df.select(
         F.col(key_col), F.explode(F.array(*entries)).alias("e")
-    ).select(key_col, "e.tree_idx", "e.depth", "e.prefix_hash")
+    ).select(
+        key_col,
+        "e.tree_idx",
+        # The stored depths ride along as column metadata so topk_query
+        # can validate a probe schedule against the ACTUAL index, not an
+        # assumed default (metadata survives projections and joins).
+        F.col("e.depth").alias("depth", metadata={"probe_depths": list(depths)}),
+        "e.prefix_hash",
+    )
     if exclude_empty:
         out = out.where(
             ~F.col("prefix_hash").isin(
@@ -204,12 +212,21 @@ def topk_query(
     descending, ending at 1. Every scheduled depth MUST be present in
     ``index_prefixes`` (a depth the index lacks would silently yield zero
     candidates for its band, quietly corrupting the top-k), so the
-    schedule is validated against ``index_depths`` — the depths the index
-    was built with, defaulting to ``probe_schedule(fcfg.k_per_tree)``
-    (what a default-built ``prefix_table`` stores). Pass ``index_depths``
-    explicitly if you built the prefix table with custom depths.
+    schedule is validated against the index's ACTUAL depths: read from
+    the ``probe_depths`` column metadata every ``prefix_table`` output
+    carries (authoritative, zero cost), else from the ``index_depths``
+    argument, else assumed ``probe_schedule(fcfg.k_per_tree)``.
     """
-    if index_depths is None:
+    meta_depths = None
+    try:
+        md = index_prefixes.schema["depth"].metadata or {}
+        if md.get("probe_depths"):
+            meta_depths = [int(d) for d in md["probe_depths"]]
+    except KeyError:
+        pass
+    if meta_depths is not None:
+        index_depths = meta_depths
+    elif index_depths is None:
         index_depths = probe_schedule(fcfg.k_per_tree)
     if schedule is None:
         schedule = [d for d in index_depths]

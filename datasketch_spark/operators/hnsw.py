@@ -510,7 +510,9 @@ class PartitionedHNSW:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
     ) -> None:
-        self._distance = distance
+        # The metric itself lives inside each pickled graph blob; the
+        # instance only records its config (no live callable state, so
+        # built and loaded instances are interchangeable).
         self.config = {
             "distance": distance
             if isinstance(distance, str)
@@ -581,7 +583,6 @@ class PartitionedHNSW:
                 "config digest (parameters changed since save?)"
             )
         obj = cls.__new__(cls)
-        obj._distance = (expected_config or {}).get("distance")
         obj.config = dict(expected_config or {})
         obj.blobs = ckpt.load(spark, cls._STAGE).persist()
         obj.n_points = int(
@@ -639,21 +640,31 @@ class PartitionedHNSW:
         query_id_col: str = "vec_id",
         vec_col: str = "embedding",
         exclude_self: bool = True,
-        n_query_chunks: int = 8,
+        n_query_chunks: int | None = None,
+        rows_per_chunk: int = 4096,
     ) -> DataFrame:
         """FULLY DISTRIBUTED query path: same output contract as ``query``
         but the query set is never collected to the driver.
 
-        Queries are hash-bucketed into ``n_query_chunks`` groups, each
-        group packed into one row (collect_list of structs), and the
-        n_chunks x n_blobs cross join runs one task per (graph, chunk):
-        deserialize the partition graph once, search the chunk's queries,
-        emit candidates; the usual window merge takes the global top-k.
-        Use this when the query batch is itself table-sized (the
-        closure-broadcast ``query`` path is cheaper for small probes);
-        size chunks so a (blob + chunk) pair fits a task comfortably —
-        total work is n_blobs x n_queries searches either way.
+        Queries are hash-bucketed into chunks, each chunk packed into one
+        row (collect_list of structs), and the n_chunks x n_blobs cross
+        join runs one task per (graph, chunk): deserialize the partition
+        graph once, search the chunk's queries, emit candidates; the
+        usual window merge takes the global top-k. Use this when the
+        query batch is itself table-sized (the closure-broadcast
+        ``query`` path is cheaper for small probes); total work is
+        n_blobs x n_queries searches either way.
+
+        The chunk count SCALES with the query set: ceil(count /
+        ``rows_per_chunk``) — one cheap count job — so a 10M-query batch
+        gets thousands of bounded-size chunk rows (parallelism and
+        per-row size both bounded), not a fixed handful of giant rows.
+        Pass ``n_query_chunks`` to pin it explicitly and skip the count.
         """
+        if n_query_chunks is None:
+            n_query_chunks = max(
+                1, -(-queries.count() // rows_per_chunk)
+            )
         chunked = (
             queries.select(
                 F.pmod(F.xxhash64(F.col(query_id_col)), F.lit(n_query_chunks)).alias(

@@ -464,6 +464,25 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             f"TIFF compression {comp} (LZW/JPEG/deflate) needs pillow; "
             "only uncompressed and PackBits decode codec-free"
         )
+    # Decoding a layout we don't understand to silently-wrong pixels with
+    # status 'ok' would poison downstream similarity — refuse instead.
+    planar = tags.get(284, [1])[0]
+    if planar != 1:
+        raise NotImplementedError(
+            f"planar-configuration {planar} TIFF (separate channel planes) "
+            "not supported; only chunky (interleaved) layout decodes"
+        )
+    photometric = tags.get(262, [1 if spp == 1 else 2])[0]
+    if spp >= 3 and photometric != 2:
+        raise NotImplementedError(
+            f"photometric {photometric} with {spp} samples (palette/YCbCr/"
+            "separated) needs pillow; only RGB(A) decodes"
+        )
+    if spp == 1 and photometric not in (0, 1):
+        raise NotImplementedError(
+            f"photometric {photometric} single-sample TIFF (palette/mask) "
+            "needs pillow; only WhiteIsZero/BlackIsZero grayscale decodes"
+        )
     rps = tags.get(278, [h])[0]
     raw = bytearray()
     expected = w * h * spp
@@ -480,7 +499,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if spp >= 3:
         rgb = px[:, :, :3]
     else:
-        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        gray = px[:, :, :1]
+        if photometric == 0:  # WhiteIsZero: min value is white
+            gray = 255 - gray
+        rgb = np.repeat(gray, 3, axis=2)
     return np.ascontiguousarray(rgb)
 
 
@@ -719,35 +741,43 @@ def gif_frame_features(
             mids, fidxs, tmss, feats, status = [], [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    frames = list(gif_frames(p))
-                    if not frames:
-                        raise ValueError("GIF contains no image frame")
-                    starts = [0]
-                    for _, delay in frames[:-1]:
-                        starts.append(starts[-1] + delay)
-                    total = starts[-1] + frames[-1][1]
-                    feat_cache: dict[int, list] = {}
-                    n_emitted, t, i = 0, 0, 0
+                    # STREAM the animation: one composed frame alive at a
+                    # time, decode stops as soon as the sample cap fires —
+                    # a 1000-frame GIF sampled to 64 rows decodes only the
+                    # frames its samples actually touch.
+                    n_emitted, t, start = 0, 0, 0
                     truncated = False
-                    while True:
-                        while i + 1 < len(frames) and starts[i + 1] <= t:
-                            i += 1
-                        if i not in feat_cache:
-                            feat_cache[i] = image_grid_feature(
-                                frames[i][0], grid
-                            ).tolist()
-                        mids.append(mid)
-                        fidxs.append(i)
-                        tmss.append(t)
-                        feats.append(feat_cache[i])
-                        status.append("ok")
-                        n_emitted += 1
-                        t += every_ms
-                        if t >= total:
-                            break
+                    last = None  # (idx, frame) — for zero-duration GIFs
+                    for i, (frame, delay) in enumerate(gif_frames(p)):
+                        end = start + delay
+                        feat = None
+                        while t < end and n_emitted < max_samples:
+                            if feat is None:
+                                feat = image_grid_feature(frame, grid).tolist()
+                            mids.append(mid)
+                            fidxs.append(i)
+                            tmss.append(t)
+                            feats.append(feat)
+                            status.append("ok")
+                            n_emitted += 1
+                            t += every_ms
                         if n_emitted >= max_samples:
                             truncated = True
                             break
+                        start = end
+                        last = (i, frame)
+                    if n_emitted == 0 and not truncated:
+                        # Zero total duration (static / all-zero delays):
+                        # one sample of the final composed canvas at t=0.
+                        if last is None:
+                            raise ValueError("GIF contains no image frame")
+                        i, frame = last
+                        mids.append(mid)
+                        fidxs.append(i)
+                        tmss.append(0)
+                        feats.append(image_grid_feature(frame, grid).tolist())
+                        status.append("ok")
+                        n_emitted = 1
                     if truncated:
                         for j in range(len(status) - n_emitted, len(status)):
                             status[j] = "ok_truncated"

@@ -90,6 +90,10 @@ _CLAIMS_STATE_SCHEMA = StructType(
     [
         StructField("first_url", StringType(), True),
         StructField("n", LongType(), True),
+        # Historical max event time (ms) the bucket has absorbed — the
+        # retention horizon must never move BACKWARDS when a late (but
+        # within-watermark) row arrives with an older timestamp.
+        StructField("max_event_ms", LongType(), True),
     ]
 )
 
@@ -109,7 +113,7 @@ def _retention_ms(retention: str) -> int:
     if len(parts) != 2:
         raise ValueError(f"retention must be '<n> <unit>', got {retention!r}")
     n, unit = parts
-    unit = unit.rstrip("s").lower()
+    unit = unit.lower().rstrip("s")
     if unit not in _RETENTION_UNITS_MS:
         raise ValueError(f"unknown retention unit {unit!r}")
     return int(float(n) * _RETENTION_UNITS_MS[unit])
@@ -179,11 +183,10 @@ def streaming_lsh_claims(
             return
         band_idx, band_hash = int(key[0]), int(key[1])
         if state.exists:
-            first_url, n = state.get
+            first_url, n, max_event_ms = state.get
         else:
-            first_url, n = None, 0
+            first_url, n, max_event_ms = None, 0, None
         out_url, out_first, out_prior = [], [], []
-        max_event_ms = None
         for pdf in pdfs:
             for url in sorted(pdf[key_col].tolist()):
                 if first_url is None:
@@ -196,10 +199,13 @@ def streaming_lsh_claims(
                 batch_max = int(pd.Timestamp(pdf[ts_col].max()).value // 1_000_000)
                 if max_event_ms is None or batch_max > max_event_ms:
                     max_event_ms = batch_max
-        state.update((first_url, n))
+        state.update((first_url, n, max_event_ms))
         if retention_ms is not None:
-            # Expire when the watermark passes the bucket's newest event +
-            # retention (timeout must sit strictly past the watermark).
+            # Expire when the watermark passes the bucket's newest-ever
+            # event + retention. max_event_ms persists in state so a late
+            # (within-watermark) row with an OLDER timestamp can never
+            # pull the horizon backwards; the timeout must also sit
+            # strictly past the current watermark.
             wm = state.getCurrentWatermarkMs()
             state.setTimeoutTimestamp(max((max_event_ms or 0) + retention_ms, wm + 1))
         yield pd.DataFrame(

@@ -157,6 +157,19 @@ def test_forest_deepening_equals_full_enumeration_and_prunes(spark):
     # A depth the index never stored must raise, not silently drop a band.
     with pytest.raises(ValueError, match="absent from the index"):
         topk_query(prefixes, queries, sig_df, fcfg, k=5, schedule=[8, 1])
+    # A custom-depth index carries its depths as column metadata, so the
+    # DEFAULT call adopts them (correct results, no silent bands)...
+    prefixes_coarse = prefix_table(sig_df, fcfg, depths=[16, 1])
+    res_c = topk_query(prefixes_coarse, queries, sig_df, fcfg, k=5)
+    got_c = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["best_depth"], r["est_jaccard"])
+        for r in res_c.collect()
+    }
+    assert got_c == expected
+    # ...and a schedule probing a depth that index lacks still raises even
+    # though it would be valid for a default-built index.
+    with pytest.raises(ValueError, match="absent from the index"):
+        topk_query(prefixes_coarse, queries, sig_df, fcfg, k=5, schedule=[16, 4, 1])
     # A finer index (factor-2 depths) serves a matching schedule via
     # index_depths, still identical output.
     fine_depths = probe_schedule(fcfg.k_per_tree, factor=2)

@@ -330,7 +330,8 @@ def encode_gif(
 
 def encode_tiff(
     px: np.ndarray, big_endian: bool = False, packbits: bool = False,
-    rows_per_strip: int | None = None,
+    rows_per_strip: int | None = None, photometric: int | None = None,
+    planar: int | None = None,
 ) -> bytes:
     """Minimal stdlib baseline-TIFF writer (test-side oracle): 8-bit
     gray/RGB, strips, optional PackBits, either byte order."""
@@ -385,14 +386,18 @@ def encode_tiff(
     else:
         entries.append(tag(258, 3, 1, 8, "H"))
     entries.append(tag(259, 3, 1, 32773 if packbits else 1, "H"))
-    entries.append(tag(262, 3, 1, 2 if spp >= 3 else 1, "H"))
+    pm = photometric if photometric is not None else (2 if spp >= 3 else 1)
+    entries.append(tag(262, 3, 1, pm, "H"))
+    if planar is not None:
+        entries.append(tag(284, 3, 1, planar, "H"))
     if n_strips == 1:
         entries.append(tag(273, 4, 1, offs[0], "I"))
         entries.append(tag(277, 3, 1, spp, "H"))
         entries.append(tag(278, 3, 1, rps, "H"))
         entries.append(tag(279, 4, 1, lens[0], "I"))
     else:
-        strip_arr_off = ifd_off + 2 + 12 * 9 + 4
+        n_entries = 9 + (1 if planar is not None else 0)
+        strip_arr_off = ifd_off + 2 + 12 * n_entries + 4
         entries.append(tag(273, 4, n_strips, strip_arr_off))
         entries.append(tag(277, 3, 1, spp, "H"))
         entries.append(tag(278, 3, 1, rps, "H"))
@@ -471,6 +476,28 @@ def test_tiff_roundtrip_paths():
             if _s.unpack_from("<H", bad, off)[0] == 259:
                 _s.pack_into("<H", bad, off + 8, 5)
         decode_image(bytes(bad))
+
+
+def test_tiff_photometric_and_planar():
+    from datasketch_spark.operators.multimodal import decode_tiff
+
+    rng = np.random.RandomState(50)
+    gray = rng.randint(0, 256, size=(5, 4)).astype(np.uint8)
+    # WhiteIsZero (photometric 0): luminance must invert, not pass through.
+    got = decode_tiff(encode_tiff(gray, photometric=0))
+    assert np.array_equal(got, np.repeat((255 - gray)[:, :, None], 3, axis=2))
+    # BlackIsZero stays identity.
+    got = decode_tiff(encode_tiff(gray, photometric=1))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    rgb = rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    # Planar (separate channel planes) and non-RGB photometrics must
+    # refuse rather than decode scrambled pixels with status ok.
+    with pytest.raises(NotImplementedError, match="planar"):
+        decode_tiff(encode_tiff(rgb, planar=2))
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_tiff(encode_tiff(rgb, photometric=6))  # YCbCr
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_tiff(encode_tiff(gray, photometric=3))  # palette
 
 
 def test_decode_image_dispatch_gif_tiff():

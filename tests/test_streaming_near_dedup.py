@@ -157,6 +157,69 @@ def test_streaming_lsh_claims_retention_expires_state(spark, tmp_path):
     )
 
 
+def test_streaming_lsh_claims_late_row_keeps_horizon(spark, tmp_path):
+    # A late (within-watermark-delay) row carrying an OLDER timestamp
+    # must not pull the bucket's retention horizon backwards: the horizon
+    # is max-event-ever + retention, persisted in state. Regression for
+    # the bug where the timeout was recomputed from only the current
+    # batch's max event time.
+    from datetime import datetime, timedelta
+
+    from datasketch_spark.streaming.dedup_stream import streaming_lsh_claims
+
+    src = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    src.mkdir()
+    schema = "url string, text string, warc_ts timestamp"
+    base_text = "late row retention horizon regression text " * 8
+    t0 = datetime(2024, 6, 1, 12, 0)
+
+    def run_batch(rows, run_id):
+        spark.createDataFrame(rows, schema).write.parquet(str(src / f"b{run_id}"))
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        claims = streaming_lsh_claims(
+            stream,
+            CFG,
+            key_col="url",
+            retention="1 hour",
+            watermark_delay="1 day",
+        )
+        q = (
+            claims.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    run_batch([("a", base_text, t0)], 0)
+    # Late near-dup 30 min BEFORE a: under the bug this reset the bucket
+    # timeout to t0-30min+1h = t0+30min; correct horizon stays t0+1h.
+    out2 = run_batch([("b", base_text + " tweak", t0 - timedelta(minutes=30))], 1)
+    assert any(r["url"] == "b" and r["prior_count"] > 0 for r in out2)
+    # Two watermark-advancing novel batches land the watermark at
+    # t0+45min — past the buggy horizon, before the correct one.
+    run_batch(
+        [("adv1", "novel words one " * 20, t0 + timedelta(days=1, minutes=45))], 2
+    )
+    run_batch(
+        [("adv2", "novel words two " * 20, t0 + timedelta(days=1, minutes=46))], 3
+    )
+    # A doc with b's EXACT text (so its buckets are precisely the ones
+    # whose horizon the late row would have pulled back) inside the true
+    # horizon must still collide with history: the a-shared buckets carry
+    # max-event t0, alive until t0+1h > watermark t0+46min.
+    out5 = run_batch(
+        [("c", base_text + " tweak", t0 + timedelta(minutes=50))], 4
+    )
+    c_hits = [r for r in out5 if r["url"] == "c" and r["prior_count"] > 0]
+    assert c_hits and all(r["first_url"] == "a" for r in c_hits)
+
+
 def test_streaming_lsh_claims_stateful_across_restarts(spark, tmp_path):
     # The applyInPandasWithState incremental index: bucket state must
     # persist through the checkpoint across two separate query runs —
