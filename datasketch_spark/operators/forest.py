@@ -212,10 +212,10 @@ def topk_query(
     descending, ending at 1. Every scheduled depth MUST be present in
     ``index_prefixes`` (a depth the index lacks would silently yield zero
     candidates for its band, quietly corrupting the top-k), so the
-    schedule is validated against the index's ACTUAL depths: read from
-    the ``probe_depths`` column metadata every ``prefix_table`` output
-    carries (authoritative, zero cost), else from the ``index_depths``
-    argument, else assumed ``probe_schedule(fcfg.k_per_tree)``.
+    schedule is validated against the index's ACTUAL depths: the explicit
+    ``index_depths`` argument if given, else the ``probe_depths`` column
+    metadata every ``prefix_table`` output carries (zero cost), else
+    assumed ``probe_schedule(fcfg.k_per_tree)``.
     """
     meta_depths = None
     try:
@@ -224,10 +224,16 @@ def topk_query(
             meta_depths = [int(d) for d in md["probe_depths"]]
     except KeyError:
         pass
-    if meta_depths is not None:
-        index_depths = meta_depths
-    elif index_depths is None:
-        index_depths = probe_schedule(fcfg.k_per_tree)
+    # An explicitly passed index_depths wins over column metadata: a
+    # caller who rebuilt/transformed the prefix table may carry stale
+    # metadata, and silently ignoring their argument would corrupt the
+    # schedule validation below without warning.
+    if index_depths is None:
+        index_depths = (
+            meta_depths
+            if meta_depths is not None
+            else probe_schedule(fcfg.k_per_tree)
+        )
     if schedule is None:
         schedule = [d for d in index_depths]
     if schedule[-1] != 1 or any(

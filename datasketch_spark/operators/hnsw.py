@@ -393,6 +393,12 @@ _OUT_SCHEMA = StructType(
 )
 
 
+# hnsw_topk's convenience contract ships the query batch in the UDF
+# closure; beyond this many rows that silently becomes a driver funnel,
+# so the entry point refuses and points at PartitionedHNSW.query_df.
+_MAX_COLLECTED_QUERIES = 100_000
+
+
 def hnsw_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -419,7 +425,21 @@ def hnsw_topk(
     ``(np.ndarray, np.ndarray) -> float`` (module-level function, not a
     lambda — it ships to executors in the UDF closure), matching the
     reference's any-metric contract (``hnsw.py:146-226``).
+
+    Table-sized query sets are refused (the collect would funnel the
+    whole table through the driver): above ``_MAX_COLLECTED_QUERIES``
+    rows this raises, pointing at ``PartitionedHNSW.query_df`` — the
+    fully distributed path with the same output contract.
     """
+    n_q = queries.count()
+    if n_q > _MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"hnsw_topk collects the query batch to the driver; got {n_q} "
+            f"query rows (> {_MAX_COLLECTED_QUERIES}). Use "
+            "PartitionedHNSW(...).query_df(queries, k) for table-sized "
+            "query sets — it joins queries to partition graphs without a "
+            "driver collect."
+        )
     q_rows = queries.select(
         F.col(query_id_col).cast("long"), F.col(vec_col)
     ).collect()
@@ -571,7 +591,10 @@ class PartitionedHNSW:
         lazily inside each query's ``mapInPandas`` tasks. Pass
         ``expected_config`` (the builder's ``.config``) to fail fast on a
         digest mismatch instead of querying an index built under different
-        parameters."""
+        parameters; with ``expected_config=None`` the config the index was
+        SAVED under is restored from the metrics sidecar, so ``.config``
+        always describes the index and a later ``save()`` re-digests over
+        the real parameters, not ``{}``."""
         from datasketch_spark.sources.io import CheckpointManager
 
         ckpt = CheckpointManager(
@@ -583,6 +606,8 @@ class PartitionedHNSW:
                 "config digest (parameters changed since save?)"
             )
         obj = cls.__new__(cls)
+        if expected_config is None:
+            expected_config = ckpt.stage_config(cls._STAGE)
         obj.config = dict(expected_config or {})
         obj.blobs = ckpt.load(spark, cls._STAGE).persist()
         obj.n_points = int(
@@ -600,7 +625,15 @@ class PartitionedHNSW:
         exclude_self: bool = True,
     ) -> DataFrame:
         """(query_id, neighbor_id, dist, rank): global top-k over the
-        prebuilt partition graphs (same output contract as ``hnsw_topk``)."""
+        prebuilt partition graphs (same output contract as ``hnsw_topk``).
+        Table-sized query sets are refused — use ``query_df``."""
+        n_q = queries.count()
+        if n_q > _MAX_COLLECTED_QUERIES:
+            raise ValueError(
+                f"PartitionedHNSW.query collects the query batch; got "
+                f"{n_q} rows (> {_MAX_COLLECTED_QUERIES}). Use query_df "
+                "for table-sized query sets."
+            )
         q_rows = queries.select(
             F.col(query_id_col).cast("long"), F.col(vec_col)
         ).collect()

@@ -416,7 +416,9 @@ def _tiff_packbits(data: bytes, expected: int) -> bytearray:
         # n == 128: no-op
     if len(out) < expected:
         raise ValueError("truncated PackBits strip")
-    return out
+    # A literal/repeat run crossing the strip boundary would otherwise
+    # shift every subsequent strip's pixels while reporting status ok.
+    return out[:expected]
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
@@ -735,6 +737,11 @@ def gif_frame_features(
     row's status reads 'ok_truncated' (no silent caps). Undecodable
     payloads quarantine as one (frame_idx=-1, null feature) row, same
     contract as ``image_features``."""
+    if max_samples < 1:
+        raise ValueError(
+            f"max_samples must be >= 1, got {max_samples} (0 would silently "
+            "drop every decodable GIF, violating the no-silent-caps contract)"
+        )
 
     def _extract(batches):
         for pdf in batches:

@@ -65,6 +65,17 @@ class CheckpointManager:
     def load(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.format(self.format).load(self._path(stage))
 
+    def stage_config(self, stage: str) -> dict | None:
+        """The run_config recorded in a stage's metrics sidecar, or None
+        if the sidecar is missing/unreadable — lets a loader restore the
+        exact config an index was SAVED under instead of guessing."""
+        try:
+            with open(self._metrics_path(stage)) as fh:
+                cfg = json.load(fh).get("config")
+        except (OSError, json.JSONDecodeError):
+            return None
+        return cfg if isinstance(cfg, dict) else None
+
     def materialize(
         self,
         df: DataFrame,

@@ -696,3 +696,32 @@ def test_forest_excludes_empty_signatures(spark):
     )
     got = {(r["query_id"], r["doc_id"]) for r in res.collect()}
     assert not any(q >= 100 or d >= 100 for q, d in got), got
+
+
+def test_forest_explicit_index_depths_beats_metadata(spark):
+    # An explicitly passed index_depths must override stale column
+    # metadata: here metadata says the default depths [16,4,2,1], but the
+    # caller asserts the index only has [16,1] — scheduling depth 4 must
+    # therefore raise, proving the explicit argument was honored
+    # (pre-fix, metadata silently won and no error surfaced).
+    rng = np.random.RandomState(77)
+    rows = [
+        (i, [int(v) for v in rng.randint(0, 1 << 30, size=128)])
+        for i in range(12)
+    ]
+    sig_df = spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+    fcfg = ForestConfig(num_perm=128, l_trees=8)
+    prefixes = prefix_table(sig_df, fcfg)  # metadata: depths [16, 4, 2, 1]
+    q_sigs = sig_df.where("doc_id < 2").withColumnRenamed(
+        "doc_id", "query_id"
+    )
+    with pytest.raises(ValueError, match="absent from the index"):
+        topk_query(
+            prefixes,
+            q_sigs,
+            sig_df,
+            fcfg,
+            k=3,
+            schedule=[16, 4, 1],
+            index_depths=[16, 1],
+        )

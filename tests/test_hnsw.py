@@ -390,3 +390,51 @@ def test_hnsw_topk_distributed_recall(spark):
         truth = set(_brute_topk(pts, pts[qid], k, exclude=qid))
         recalls.append(len(truth & {h[1] for h in hits}) / k)
     assert np.mean(recalls) >= 0.95, np.mean(recalls)
+
+
+def test_partitioned_hnsw_load_restores_saved_config(spark, tmp_path):
+    # load(expected_config=None) must restore the config the index was
+    # SAVED under (from the metrics sidecar), so a later save() digests
+    # over the real parameters — not {} (ADVICE r4).
+    rng = np.random.RandomState(13)
+    n = 60
+    pts = rng.rand(n, 6)
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    built = PartitionedHNSW(df, m=8, ef_construction=32, n_partitions=2)
+    root1, root2 = str(tmp_path / "a"), str(tmp_path / "b")
+    built.save(root1)
+    loaded = PartitionedHNSW.load(spark, root1)  # no expected_config
+    assert loaded.config == built.config
+    # Re-save of the loaded index must be loadable under the REAL config
+    # digest (the bug wrote a sidecar digested over {}).
+    loaded.save(root2)
+    again = PartitionedHNSW.load(spark, root2, expected_config=built.config)
+    assert again.config == built.config and again.n_points == n
+    loaded.unpersist()
+    again.unpersist()
+    built.unpersist()
+
+
+def test_hnsw_topk_refuses_table_sized_query_batch(spark, monkeypatch):
+    # Above the guard, the driver-collect convenience paths raise and
+    # point at query_df; query_df itself handles the same batch.
+    import datasketch_spark.operators.hnsw as H
+
+    rng = np.random.RandomState(21)
+    n = 40
+    pts = rng.rand(n, 5)
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)], ["vec_id", "embedding"]
+    )
+    monkeypatch.setattr(H, "_MAX_COLLECTED_QUERIES", 10)
+    big_q = df.where("vec_id < 20")
+    with pytest.raises(ValueError, match="query_df"):
+        hnsw_topk(df, big_q, k=3, n_partitions=2)
+    pidx = PartitionedHNSW(df, m=8, ef_construction=32, n_partitions=2)
+    with pytest.raises(ValueError, match="query_df"):
+        pidx.query(big_q, k=3)
+    out = pidx.query_df(big_q, k=3, n_query_chunks=2)
+    assert out.select("query_id").distinct().count() == 20
+    pidx.unpersist()

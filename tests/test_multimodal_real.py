@@ -747,3 +747,34 @@ def test_png_roundtrip_edge_shapes():
                     np.repeat(px[:, :, :1], 3, axis=2) if ch <= 2 else px[:, :, :3]
                 )
                 assert np.array_equal(got, want), (h, w, ctype, f)
+
+
+def test_tiff_packbits_overshoot_truncated():
+    # A repeat run crossing the strip boundary must contribute EXACTLY
+    # `expected` bytes — overshoot would shift every subsequent strip's
+    # pixels while still reporting status ok (ADVICE r4).
+    from datasketch_spark.operators.multimodal import _tiff_packbits
+
+    out = _tiff_packbits(bytes([248, 7]), expected=8)  # repeat 7 ×9 > 8
+    assert bytes(out) == b"\x07" * 8
+    # Literal run overshoot, same contract.
+    out = _tiff_packbits(bytes([9]) + b"ABCDEFGHIJ", expected=8)
+    assert bytes(out) == b"ABCDEFGH"
+    # Exact fit still round-trips; short still raises.
+    assert bytes(_tiff_packbits(bytes([249, 5]), expected=8)) == b"\x05" * 8
+    with pytest.raises(ValueError, match="truncated"):
+        _tiff_packbits(bytes([250, 5]), expected=8)  # only 7 bytes
+
+
+def test_gif_frame_features_rejects_nonpositive_max_samples(spark):
+    # max_samples=0 used to silently emit zero rows for a decodable GIF.
+    from datasketch_spark.operators.multimodal import gif_frame_features
+
+    idx = np.zeros((2, 2), dtype=np.uint8)
+    pal = np.array([[255, 0, 0]] * 2, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_gif(idx, pal)))], ["media_id", "payload"]
+    )
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="max_samples"):
+            gif_frame_features(media, max_samples=bad)
