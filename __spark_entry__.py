@@ -516,6 +516,174 @@ def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Serialization codecs (reference lean_minhash.py:126-175 byte layout,
+    # hyperloglog.py:270-288 register layout), SELF-CHECKING:
+    #   lean_len  — the reference buffer size 8+4+4*num_perm, an exact
+    #               value the oracle fixes independently;
+    #   lean_ok   — serialize -> deserialize round-trips the signature
+    #               bit-exactly (vectorized pandas UDFs both ways);
+    #   seed_val  — the seed field read back from the buffer (must be the
+    #               config seed, proving field placement, not just length);
+    #   hll_ok    — HLL register codec round-trip (p + 2^p register bytes)
+    #               over registers derived from the doc's own signature.
+    from datasketch_spark.functions.serialize import (
+        make_deserialize_udf,
+        make_seed_extract_udf,
+        make_serialize_udf,
+    )
+
+    cfg = DedupConfig(threshold=0.5)
+    docs = _docs(spark, sf_dir).where("doc_id < 200").select("doc_id", "text")
+    sigs = with_signature(docs, cfg)
+    buf = make_serialize_udf(seed=cfg.seed)(F.col("sig"))
+
+    @F.pandas_udf("boolean")
+    def _hll_ok(sig_s):
+        import numpy as np
+        import pandas as pd
+
+        from datasketch_spark.functions.serialize import (
+            hll_bytes,
+            hll_from_bytes,
+        )
+
+        p, m = 8, 256
+        out = []
+        for sig in sig_s:
+            v = np.asarray(sig, dtype=np.uint64)
+            idx = (v & np.uint64(m - 1)).astype(np.int64)
+            rest = (v >> np.uint64(p)).astype(np.uint64)
+            rank = np.array(
+                [(32 - p) - int(x).bit_length() + 1 for x in rest],
+                dtype=np.uint8,
+            )
+            reg = np.zeros(m, dtype=np.uint8)
+            np.maximum.at(reg, idx, rank)
+            p2, reg2 = hll_from_bytes(hll_bytes(p, reg))
+            out.append(bool(p2 == p and np.array_equal(reg2.astype(np.uint8), reg)))
+        return pd.Series(out)
+
+    return sigs.select(
+        "doc_id",
+        F.length(buf).alias("lean_len"),
+        (make_deserialize_udf()(buf) == F.col("sig")).alias("lean_ok"),
+        make_seed_extract_udf()(buf).alias("seed_val"),
+        _hll_ok(F.col("sig")).alias("hll_ok"),
+    )
+
+
+def q_bbit_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # b-bit MinHash (reference b_bit_minhash.py:26-72): lowest-b-bit
+    # signatures + the debiased estimate (raw - 2^-b) / (1 - 2^-b).
+    # STRONG oracle: the whole computation is integer/float arithmetic on
+    # the signature slots, so DuckDB reproduces full_est, bbit4_est and
+    # bbit1_est bit-for-bit from its own re-derived signatures.
+    from datasketch_spark.functions.minhash import bbit_col, bbit_jaccard_col
+
+    cfg = DedupConfig(threshold=0.5)
+    docs = (
+        _docs(spark, sf_dir)
+        .where("length(text) >= 1 AND doc_id < 300")
+        .select("doc_id", "text")
+    )
+    sigs = with_signature(docs, cfg)
+    a = sigs.where("doc_id % 2 = 0").select(
+        F.col("doc_id").alias("a"), F.col("sig").alias("_sa")
+    )
+    b = sigs.where("doc_id % 2 = 1").select(
+        F.col("doc_id").alias("b"), F.col("sig").alias("_sb")
+    )
+    pairs = a.join(b, F.col("b") == F.col("a") + 1)
+    full = (
+        F.aggregate(
+            F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(128.0)
+    )
+    b4 = bbit_jaccard_col(
+        bbit_col("_sa", 4), bbit_col("_sb", 4), b=4, r=0.0, num_perm=128
+    )
+    b1 = bbit_jaccard_col(
+        bbit_col("_sa", 1), bbit_col("_sb", 1), b=1, r=0.0, num_perm=128
+    )
+    return pairs.select(
+        "a",
+        "b",
+        F.round(full, 6).alias("full_est"),
+        F.round(b4, 6).alias("bbit4_est"),
+        F.round(b1, 6).alias("bbit1_est"),
+    )
+
+
+def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multimodal decode path (operators/multimodal.py), SELF-CHECKING:
+    # deterministic BMP/PNG/GIF payloads are synthesized from doc_id alone
+    # (operators/media_synth.py — encoders independent of the decoders),
+    # decoded with the engine's codec-free decoders, and compared against
+    # the formula-derived pixels; corrupt payloads must quarantine. The
+    # oracle re-derives kind/width/height from the id formula and fixes
+    # ok = TRUE, so any decoder/dimension/feature regression breaks the
+    # value hash.
+    from datasketch_spark.operators.media_synth import (
+        media_roundtrip_check,
+        synth_media,
+    )
+
+    ids = (
+        _docs(spark, sf_dir)
+        .select(F.col("doc_id").alias("media_id"))
+        .where("media_id < 160")
+    )
+    return media_roundtrip_check(synth_media(ids))
+
+
+def q_streaming_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Structured-Streaming incremental LSH index (streaming/
+    # dedup_stream.py:streaming_lsh_claims), BATCH-EQUIVALENCE oracle:
+    # run the bounded corpus through the stateful stream (availableNow,
+    # one microbatch, per-bucket sorted order) and require the claims
+    # table to equal the batch first-claimant computed in SQL — per band
+    # bucket, first_url = min(url) and prior_count = rank by url. The
+    # band partition (band_idx, bkey) is identical to the bands table the
+    # lsh_candidates oracle already reproduces bit-for-bit; band_hash is
+    # dropped from the output because xxhash64 has no DuckDB twin (the
+    # bucket partition it induces is fully checked through the other
+    # columns).
+    import tempfile
+
+    from datasketch_spark.streaming.dedup_stream import streaming_lsh_claims
+
+    cfg = DedupConfig(threshold=0.5)
+    # doc_id < 1000 bounds the state-store size on the bench surface
+    # (b x docs groups, each a Python state call); covers the whole
+    # sf0.01 correctness corpus (500 docs) with headroom.
+    docs = (
+        _docs(spark, sf_dir)
+        .where("length(text) >= 1 AND doc_id < 1000")
+        .select(F.col("doc_id").cast("string").alias("url"), "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="ds_stream_claims_")
+    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+    docs.coalesce(1).write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema("url string, text string").parquet(in_dir)
+    claims = streaming_lsh_claims(stream, cfg, key_col="url")
+    q = (
+        claims.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        "band_idx", "url", "first_url", "prior_count"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full near-dup pipeline over sf0.001 documents."""
     return q_minhash_dedup(spark, "/root/testdata/sf0.001")
@@ -546,6 +714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_query_words": q_lsh_query_words,
         "ensemble_containment": q_ensemble_containment,
         "forest_topk": q_forest_topk,
+        "codec_roundtrip": q_codec_roundtrip,
+        "bbit_jaccard": q_bbit_jaccard,
+        "media_roundtrip": q_media_roundtrip,
+        "streaming_claims": q_streaming_claims,
     }
 
 
@@ -930,7 +1102,70 @@ def oracle_sql() -> dict[str, str]:
         "lsh_query_words": _lsh_query_words_oracle(DedupConfig(threshold=0.5)),
         "ensemble_containment": _ensemble_oracle(),
         "forest_topk": _forest_oracle(),
+        # Codec self-check twin: the buffer length is the reference layout
+        # size 8 (seed) + 4 (count) + 4*128 (hashvalues) = 524; the seed
+        # field must read back as the config seed; round-trips fix TRUE.
+        "codec_roundtrip": """
+            SELECT doc_id, 524 AS lean_len, true AS lean_ok,
+                   CAST(1 AS BIGINT) AS seed_val, true AS hll_ok
+            FROM documents WHERE doc_id < 200
+        """,
+        "bbit_jaccard": _bbit_jaccard_oracle(DedupConfig(threshold=0.5)),
+        # Media round-trip twin: kind/width/height re-derived from the id
+        # formula (media_synth.media_dims/media_kind); ok fixed TRUE.
+        "media_roundtrip": """
+            SELECT doc_id AS media_id,
+                   CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                        WHEN 2 THEN 'gif' ELSE 'corrupt' END AS kind,
+                   CAST(CASE WHEN doc_id % 4 = 3 THEN -1
+                        ELSE 6 + doc_id % 5 END AS INTEGER) AS width,
+                   CAST(CASE WHEN doc_id % 4 = 3 THEN -1
+                        ELSE 5 + doc_id % 4 END AS INTEGER) AS height,
+                   true AS ok
+            FROM documents WHERE doc_id < 160
+        """,
+        "streaming_claims": _streaming_claims_oracle(
+            DedupConfig(threshold=0.5)
+        ),
     }
+
+
+def _bbit_jaccard_oracle(cfg: DedupConfig) -> str:
+    """b-bit twin: identical signature CTEs, then plain arithmetic — the
+    same IEEE doubles Spark computes, so round(x, 6) matches exactly."""
+    return f"""WITH {_shingle_tokh_ctes(cfg.shingle_k)},
+    {_params_sig_ctes(cfg.num_perm, cfg.seed)},
+    eq AS (
+      SELECT sa.doc_id AS a, sb.doc_id AS b,
+             sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS n_eq,
+             sum(CASE WHEN sa.v % 16 = sb.v % 16 THEN 1 ELSE 0 END) AS n4,
+             sum(CASE WHEN sa.v % 2 = sb.v % 2 THEN 1 ELSE 0 END) AS n1
+      FROM sig sa JOIN sig sb ON sb.doc_id = sa.doc_id + 1 AND sb.j = sa.j
+      WHERE sa.doc_id % 2 = 0 AND sa.doc_id < 300 AND sb.doc_id < 300
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(n_eq / 128.0, 6) AS full_est,
+           round((n4 / 128.0 - 0.0625) / 0.9375, 6) AS bbit4_est,
+           round((n1 / 128.0 - 0.5) / 0.5, 6) AS bbit1_est
+    FROM eq"""
+
+
+def _streaming_claims_oracle(cfg: DedupConfig) -> str:
+    """Batch first-claimant twin of the streaming LSH claims: per band
+    bucket (band_idx, bkey — the exact partition the bands table induces),
+    first_url is the min url and prior_count the 0-based rank by url,
+    matching the stream's single-microbatch sorted processing order."""
+    return f"""WITH {_shingle_tokh_ctes(cfg.shingle_k)},
+    {_sig_band_ctes(cfg)},
+    b2 AS (SELECT band_idx, bkey, CAST(doc_id AS VARCHAR) AS url
+           FROM band WHERE doc_id < 1000)
+    SELECT CAST(band_idx AS BIGINT) AS band_idx, url,
+           min(url) OVER (PARTITION BY band_idx, bkey) AS first_url,
+           CAST(row_number() OVER (PARTITION BY band_idx, bkey
+                                   ORDER BY url) - 1 AS BIGINT)
+             AS prior_count
+    FROM b2"""
 
 
 def _ensemble_oracle() -> str:

@@ -68,6 +68,10 @@ def run_queries() -> None:
         "lsh_query_words",
         "ensemble_containment",
         "forest_topk",
+        "codec_roundtrip",
+        "bbit_jaccard",
+        "media_roundtrip",
+        "streaming_claims",
     ]
     qs = entrymod.queries()
     # Burn-certified min-of-2: each query runs twice (fresh plan each call;

@@ -1,0 +1,94 @@
+"""media_synth: deterministic payload synthesis + round-trip validation
+(the driver row ``media_roundtrip``'s machinery)."""
+
+import numpy as np
+import pytest
+
+from datasketch_spark.operators.media_synth import (
+    encode_bmp,
+    encode_gif,
+    encode_png,
+    media_dims,
+    media_kind,
+    media_payload,
+    media_pixels,
+    media_roundtrip_check,
+    synth_media,
+)
+from datasketch_spark.operators.multimodal import (
+    decode_bmp,
+    decode_gif,
+    decode_image,
+    decode_png,
+)
+
+
+def test_encoders_roundtrip_through_engine_decoders():
+    # The synth encoders and the engine decoders are independent
+    # implementations; pixel-exact round-trip across many shapes is the
+    # invariant the driver oracle fixes TRUE.
+    rng = np.random.RandomState(3)
+    for h, w in [(1, 1), (1, 9), (9, 1), (5, 7), (16, 16)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px)
+        assert np.array_equal(decode_png(encode_png(px)), px)
+        gray = px[:, :, 0]
+        assert np.array_equal(
+            decode_gif(encode_gif(gray)), np.repeat(gray[:, :, None], 3, axis=2)
+        )
+
+
+def test_media_payload_kinds_and_determinism():
+    for mid in range(16):
+        kind = media_kind(mid)
+        p1, p2 = media_payload(mid), media_payload(mid)
+        assert p1 == p2  # deterministic
+        if kind == "corrupt":
+            with pytest.raises((ValueError, NotImplementedError)):
+                decode_image(p1)
+        else:
+            got = decode_image(p1)
+            w, h = media_dims(mid)
+            assert got.shape == (h, w, 3)
+            assert np.array_equal(got, media_pixels(mid))
+
+
+def test_synth_and_check_distributed(spark):
+    ids = spark.range(0, 40).withColumnRenamed("id", "media_id")
+    out = media_roundtrip_check(synth_media(ids)).collect()
+    assert len(out) == 40
+    assert all(r["ok"] for r in out)
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert set(by_kind) == {"bmp", "png", "gif", "corrupt"}
+    for r in by_kind["corrupt"]:
+        assert r["width"] == -1 and r["height"] == -1
+    for kind in ("bmp", "png", "gif"):
+        for r in by_kind[kind]:
+            w, h = media_dims(r["media_id"])
+            assert (r["width"], r["height"]) == (w, h)
+
+
+def test_check_flags_pixel_corruption(spark):
+    # A payload whose pixels DIVERGE from the id formula must yield
+    # ok=False — proves the checker compares content, not just headers.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datasketch_spark.operators.media_synth import SYNTH_SCHEMA
+
+    def _bad_gen(batches):
+        for pdf in batches:
+            mids = pdf["media_id"].tolist()
+            rows = []
+            for m in mids:
+                px = media_pixels(m).copy()
+                px[0, 0, 0] ^= 0xFF  # flip one byte
+                rows.append((m, "png", encode_png(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    ids = spark.range(0, 8).select(F.col("id").alias("media_id"))
+    bad = ids.mapInPandas(_bad_gen, schema=SYNTH_SCHEMA)
+    out = media_roundtrip_check(bad).collect()
+    assert len(out) == 8 and not any(r["ok"] for r in out)

@@ -20,11 +20,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
+    if v is None:
+        return ""  # total-orderable stand-in (matches on both sides)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
         return round(v, 6)
     return v
+
+
+def row_key(row):
+    # Mixed types (None stand-ins vs ints) must still sort: key on the
+    # type name first, then the value.
+    return tuple((type(v).__name__, str(v), v if isinstance(v, (int, float)) and not isinstance(v, bool) else 0) for v in row)
 
 
 def main():
@@ -41,7 +49,8 @@ def main():
         sdf = fn(spark, SF_DIR)
         scols = sorted(sdf.columns)
         srows = sorted(
-            tuple(norm(r[c]) for c in scols) for r in sdf.collect()
+            (tuple(norm(r[c]) for c in scols) for r in sdf.collect()),
+            key=row_key,
         )
         if name not in oracles:
             print(f"{name}: rows-only ({len(srows)} rows) — no oracle")
@@ -49,8 +58,9 @@ def main():
         ddf = con.sql(oracles[name])
         dcols = sorted(ddf.columns)
         drows = sorted(
-            tuple(norm(row[ddf.columns.index(c)]) for c in dcols)
-            for row in ddf.fetchall()
+            (tuple(norm(row[ddf.columns.index(c)]) for c in dcols)
+             for row in ddf.fetchall()),
+            key=row_key,
         )
         ok = scols == dcols and srows == drows
         status = "OK " if ok else "FAIL"
