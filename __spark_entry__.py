@@ -619,14 +619,15 @@ def q_bbit_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Multimodal decode path (operators/multimodal.py), SELF-CHECKING:
-    # deterministic BMP/PNG/GIF payloads are synthesized from doc_id alone
-    # (operators/media_synth.py — encoders independent of the decoders),
-    # decoded with the engine's codec-free decoders, and compared against
-    # the formula-derived pixels; corrupt payloads must quarantine. The
-    # oracle re-derives kind/width/height from the id formula and fixes
-    # ok = TRUE, so any decoder/dimension/feature regression breaks the
-    # value hash.
+    # Multimodal decode path (operators/multimodal.py + operators/jpeg.py),
+    # SELF-CHECKING: deterministic BMP/PNG/GIF/JPEG payloads are
+    # synthesized from doc_id alone (operators/media_synth.py — encoders
+    # independent of the decoders), decoded with the engine's codec-free
+    # decoders, and compared against the formula-derived pixels
+    # (bit-exact; JPEG within the unit-quantization rounding bound);
+    # corrupt payloads must quarantine. The oracle re-derives
+    # kind/width/height from the id formula and fixes ok = TRUE, so any
+    # decoder/dimension/feature regression breaks the value hash.
     from datasketch_spark.operators.media_synth import (
         media_roundtrip_check,
         synth_media,
@@ -1115,11 +1116,12 @@ def oracle_sql() -> dict[str, str]:
         # formula (media_synth.media_dims/media_kind); ok fixed TRUE.
         "media_roundtrip": """
             SELECT doc_id AS media_id,
-                   CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-                        WHEN 2 THEN 'gif' ELSE 'corrupt' END AS kind,
-                   CAST(CASE WHEN doc_id % 4 = 3 THEN -1
+                   CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                        WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg'
+                        ELSE 'corrupt' END AS kind,
+                   CAST(CASE WHEN doc_id % 5 = 4 THEN -1
                         ELSE 6 + doc_id % 5 END AS INTEGER) AS width,
-                   CAST(CASE WHEN doc_id % 4 = 3 THEN -1
+                   CAST(CASE WHEN doc_id % 5 = 4 THEN -1
                         ELSE 5 + doc_id % 4 END AS INTEGER) AS height,
                    true AS ok
             FROM documents WHERE doc_id < 160

@@ -40,7 +40,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-KINDS = ("bmp", "png", "gif", "corrupt")
+KINDS = ("bmp", "png", "gif", "jpeg", "corrupt")
 
 SYNTH_SCHEMA = StructType(
     [
@@ -62,7 +62,7 @@ CHECK_SCHEMA = StructType(
 
 
 def media_kind(mid: int) -> str:
-    return KINDS[mid % 4]
+    return KINDS[mid % 5]
 
 
 def media_dims(mid: int) -> tuple[int, int]:
@@ -174,6 +174,132 @@ def encode_gif(gray: np.ndarray) -> bytes:
     return head + bytes(blocks) + b"\x00\x3b"
 
 
+# ---- minimal baseline JFIF encoder (4:4:4, all-ones quant tables — the
+# near-lossless configuration, so decode error is bounded by coefficient
+# rounding + the color transform; the checker uses a small tolerance) ----
+
+_JPEG_ZZ: list[int] = []
+for _s in range(15):
+    _d = [(_s - j, j) for j in range(max(0, _s - 7), min(8, _s + 1))]
+    _JPEG_ZZ += [r * 8 + c for r, c in (_d[::-1] if _s % 2 else _d)]
+_JC = np.cos(
+    (2 * np.arange(8)[None, :] + 1) * np.arange(8)[:, None] * np.pi / 16
+) * 0.5
+_JC[0] *= 1 / np.sqrt(2)
+_JPEG_DC_COUNTS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+
+
+def _jpeg_dc_codes() -> dict[int, tuple[int, int]]:
+    code, k, out = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(_JPEG_DC_COUNTS[length - 1]):
+            out[k] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_JPEG_DC = _jpeg_dc_codes()
+
+
+def encode_jpeg(rgb: np.ndarray) -> bytes:
+    """Baseline sequential JFIF, 4:4:4, unit quantization: markers + one
+    interleaved scan with a standard-lengths DC table and a flat 9-bit AC
+    code over the symbols this image actually uses."""
+    h, w = rgb.shape[:2]
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+    ]
+    bh, bw = -(-h // 8), -(-w // 8)
+    zz = np.array(_JPEG_ZZ)
+    comp_q = []
+    used: set[int] = {0x00, 0xF0}
+    for px in planes:
+        padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+        blocks = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = _JC @ blocks @ _JC.T
+        q = np.round(coefs).astype(np.int64).reshape(-1, 64)[:, zz]
+        comp_q.append(q)
+        for row in q:
+            run = 0
+            nz = np.nonzero(row[1:])[0]
+            last = int(nz.max()) + 1 if nz.size else 0
+            for k in range(1, last + 1):
+                v = int(row[k])
+                if v == 0:
+                    run += 1
+                    continue
+                used.add(((run % 16) << 4) | abs(v).bit_length())
+                run = 0
+    ac_syms = sorted(used)
+    ac = {s: (i, 9) for i, s in enumerate(ac_syms)}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = b"\x00" + _JPEG_DC_COUNTS + bytes(range(12))
+    ac_counts = bytearray(16)
+    ac_counts[8] = len(ac_syms)
+    dht += b"\x10" + bytes(ac_counts) + bytes(ac_syms)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03\x01\x00\x02\x00\x03\x00\x00\x3f\x00"
+
+    acc, nb = 0, 0
+    scan = bytearray()
+
+    def put(code: int, length: int) -> None:
+        nonlocal acc, nb
+        acc = (acc << length) | code
+        nb += length
+        while nb >= 8:
+            byte = (acc >> (nb - 8)) & 0xFF
+            scan.append(byte)
+            if byte == 0xFF:
+                scan.append(0x00)
+            nb -= 8
+            acc &= (1 << nb) - 1
+
+    preds = [0, 0, 0]
+    for bi in range(bh * bw):
+        for ci in range(3):
+            row = comp_q[ci][bi]
+            diff = int(row[0]) - preds[ci]
+            preds[ci] = int(row[0])
+            s = abs(diff).bit_length()
+            put(*_JPEG_DC[s])
+            if s:
+                put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            nz = np.nonzero(row[1:])[0]
+            last = int(nz.max()) + 1 if nz.size else 0
+            for k in range(1, last + 1):
+                v = int(row[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(*ac[0xF0])
+                    run -= 16
+                s = abs(v).bit_length()
+                put(*ac[(run << 4) | s])
+                put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                put(*ac[0x00])
+    if nb:
+        put((1 << (8 - nb)) - 1, 8 - nb)
+    return bytes(out) + bytes(scan) + b"\xff\xd9"
+
+
 def media_payload(mid: int) -> bytes:
     kind = media_kind(mid)
     if kind == "corrupt":
@@ -184,6 +310,8 @@ def media_payload(mid: int) -> bytes:
         return encode_bmp(px)
     if kind == "png":
         return encode_png(px)
+    if kind == "jpeg":
+        return encode_jpeg(px)
     return encode_gif(px[:, :, 0])  # gif: gray plane through the palette
 
 
@@ -245,12 +373,26 @@ def media_roundtrip_check(media: DataFrame) -> DataFrame:
                     got = decode_image(bytes(payload))
                     ws.append(int(got.shape[1]))
                     hs.append(int(got.shape[0]))
+                    if kind == "jpeg":
+                        # DCT coding is lossy even at unit quantization
+                        # (coefficient rounding + color transform): exact
+                        # shape, bounded per-pixel error.
+                        match = got.shape == want.shape and int(
+                            np.max(
+                                np.abs(
+                                    got.astype(np.int64) - want.astype(np.int64)
+                                )
+                            )
+                        ) <= 6
+                    else:
+                        match = np.array_equal(got, want)
                     oks.append(
                         bool(
-                            np.array_equal(got, want)
+                            match
                             and np.allclose(
                                 image_grid_feature(got),
                                 image_grid_feature(want),
+                                atol=6 / 255.0,
                             )
                         )
                     )

@@ -5,13 +5,14 @@ Decode support is tiered by what this environment can actually do:
   - REAL decoders with zero external codecs: uncompressed BMP images
     (pure-numpy header parse + pixel view), non-interlaced 8-bit PNG
     incl. paletted (chunk parse + stdlib zlib inflate + vectorized
-    scanline unfilter), GIF87a/89a first frame (pure-Python LZW,
+    scanline unfilter), GIF87a/89a first frame (vectorized LZW,
     interlace, local/global palettes), baseline TIFF (uncompressed +
-    PackBits strips, both byte orders), and PCM WAV audio (stdlib
-    ``wave``), feeding real feature kernels (block-mean image grid /
-    RMS + zero-crossings + spectral shape).
+    PackBits strips, both byte orders), baseline sequential JPEG
+    (``operators.jpeg``: Huffman-LUT scan decode + batched numpy IDCT),
+    and PCM WAV audio (stdlib ``wave``), feeding real feature kernels
+    (block-mean image grid / RMS + zero-crossings + spectral shape).
   - Formats that genuinely need entropy codec libraries absent here
-    (JPEG's DCT coding, WebP, MP3/MP4): those raise NotImplementedError
+    (progressive JPEG, WebP, MP3/MP4): those raise NotImplementedError
     naming the dependency, and the seeded ``deterministic_fake``
     stand-in keeps the Spark-side plumbing — schema, batching,
     partitioning, UDF signatures — testable end-to-end.
@@ -612,9 +613,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: BMP, PNG, GIF, and baseline TIFF decode
-    for real; formats whose entropy codecs are genuinely absent here
-    (JPEG/WebP) raise NotImplementedError naming the dependency."""
+    """Dispatch on magic bytes: BMP, PNG, GIF, baseline TIFF, and baseline
+    sequential JPEG decode for real; formats whose entropy codecs are
+    genuinely absent here (WebP; progressive JPEG) raise
+    NotImplementedError naming the dependency."""
     if payload is None or len(payload) < 8:
         raise ValueError("not an image payload")
     if payload[:2] == b"BM":
@@ -625,9 +627,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_gif(payload)
     if payload[:2] in (b"II", b"MM"):
         return decode_tiff(payload)
+    if payload[:2] == b"\xff\xd8":
+        from datasketch_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "JPEG/WebP need pillow; BMP, PNG, GIF, and baseline TIFF decode "
-        "codec-free"
+        "WebP needs pillow; BMP, PNG, GIF, baseline TIFF, and baseline "
+        "JPEG decode codec-free"
     )
 
 

@@ -1,0 +1,354 @@
+"""Baseline JPEG decoder: round-trip vs an independent test-side encoder
+(stdlib+numpy), tolerance-bounded (DCT quantization is lossy), plus
+marker/corruption semantics."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datasketch_spark.operators.jpeg import decode_jpeg
+
+# ---------------------------------------------------------------------------
+# Test-side encoder (forward path only; written independently of the
+# decoder: own zigzag walk, own DCT basis, own bit packer).
+# ---------------------------------------------------------------------------
+
+_ZZ = []  # zigzag index order built by diagonal walk (decoder uses a table)
+for s in range(15):
+    rng_ = range(max(0, s - 7), min(8, s + 1))
+    diag = [(s - j, j) for j in rng_]
+    if s % 2 == 1:  # odd anti-diagonals run top-right -> bottom-left
+        diag = diag[::-1]
+    _ZZ += [r * 8 + c for r, c in diag]
+
+_C = np.zeros((8, 8))
+for k in range(8):
+    for nn in range(8):
+        _C[k, nn] = np.cos((2 * nn + 1) * k * np.pi / 16) / 2
+_C[0] *= 1 / np.sqrt(2)
+
+# Standard Annex K DC code lengths (exercises variable-length canonical
+# codes in the decoder); AC uses a flat 9-bit code over used symbols.
+_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_SYMBOLS = list(range(12))
+
+
+def _dc_codemap():
+    code, k, out = 0, 0, {}
+    for length in range(1, 17):
+        for _ in range(_DC_COUNTS[length - 1]):
+            out[_DC_SYMBOLS[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+
+def _mag(v):
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _encode_blocks(writer, blocks, pred, dc_map, ac_map):
+    """blocks: (n, 8, 8) float spatial (level-shifted); returns new pred."""
+    for blk in blocks:
+        coefs = _C @ blk @ _C.T
+        q = np.round(coefs).astype(np.int64).reshape(-1)[_ZZ]
+        s, bits = _mag(int(q[0]) - pred)
+        code, ln = dc_map[s]
+        writer.put(code, ln)
+        if s:
+            writer.put(bits, s)
+        pred = int(q[0])
+        run = 0
+        last_nz = max(np.nonzero(q[1:])[0], default=-1)
+        for k in range(1, 2 + last_nz if last_nz >= 0 else 1):
+            v = int(q[k]) if k < 64 else 0
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                writer.put(*ac_map[0xF0])
+                run -= 16
+            s, bits = _mag(v)
+            writer.put(*ac_map[(run << 4) | s])
+            writer.put(bits, s)
+            run = 0
+        if last_nz < 62:  # EOB unless block ended exactly at k=63
+            writer.put(*ac_map[0x00])
+    return pred
+
+
+def _used_ac_symbols(planes_blocks):
+    used = {0x00, 0xF0}
+    for blocks, _ in planes_blocks:
+        for blk in blocks.reshape(-1, 8, 8):
+            coefs = _C @ blk @ _C.T
+            q = np.round(coefs).astype(np.int64).reshape(-1)[_ZZ]
+            run = 0
+            nz = np.nonzero(q[1:])[0]
+            last = nz.max() if nz.size else -1
+            for k in range(1, last + 2):
+                v = int(q[k])
+                if v == 0:
+                    run += 1
+                    continue
+                run %= 16
+                used.add((run << 4) | abs(v).bit_length())
+                run = 0
+    return sorted(used)
+
+
+def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
+                restart_interval: int = 0, gray: bool = False) -> bytes:
+    """Minimal baseline JFIF encoder: quality ~lossless (all-ones quant),
+    4:4:4 or 4:2:0, optional restart markers, optional grayscale."""
+    h, w = rgb.shape[:2]
+    if gray:
+        comps_px = [rgb[:, :, 0].astype(np.float64)]
+        sampling = [(1, 1)]
+    else:
+        r = rgb[:, :, 0].astype(np.float64)
+        g = rgb[:, :, 1].astype(np.float64)
+        b = rgb[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+        if subsample:
+            sampling = [(2, 2), (1, 1), (1, 1)]
+            # pad to even dims then 2x2 box-average chroma
+            eh, ew = (h + 1) & ~1, (w + 1) & ~1
+            cbp = np.pad(cb, ((0, eh - h), (0, ew - w)), mode="edge")
+            crp = np.pad(cr, ((0, eh - h), (0, ew - w)), mode="edge")
+            cb = cbp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+        else:
+            sampling = [(1, 1), (1, 1), (1, 1)]
+        comps_px = [y, cb, cr]
+
+    max_h = max(s[0] for s in sampling)
+    max_v = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+
+    planes_blocks = []
+    for px, (hs, vs) in zip(comps_px, sampling):
+        ph, pw = mcus_y * vs * 8, mcus_x * hs * 8
+        padded = np.pad(
+            px, ((0, ph - px.shape[0]), (0, pw - px.shape[1])), mode="edge"
+        ) - 128.0
+        blks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+        planes_blocks.append((blks, (hs, vs)))
+
+    ac_syms = _used_ac_symbols(planes_blocks)
+    assert len(ac_syms) <= 256
+    ac_map = {s: (i, 9) for i, s in enumerate(ac_syms)}
+    dc_map = _dc_codemap()
+
+    out = bytearray(b"\xff\xd8")
+    # DQT: all-ones table 0 (near-lossless round-trip)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    # SOF0
+    ncomp = len(comps_px)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT: DC table 0 (standard lengths), AC table 0 (flat 9-bit)
+    dht = bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS)
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)  # all codes are 9 bits
+    dht += bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    n_mcus = mcus_x * mcus_y
+    rst = 0
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            out += writer.out + bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            writer = _BitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcus_x)
+        for ci, (blks, (hs, vs)) in enumerate(planes_blocks):
+            sub = [
+                blks[my * vs + dy, mx * hs + dx]
+                for dy in range(vs)
+                for dx in range(hs)
+            ]
+            preds[ci] = _encode_blocks(writer, sub, preds[ci], dc_map, ac_map)
+    writer.flush()
+    out += writer.out + b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+
+def _smooth(h, w, seed):
+    """Low-frequency test image (quantization error stays tiny)."""
+    rng = np.random.RandomState(seed)
+    yy = np.linspace(0, np.pi * 2, h)[:, None]
+    xx = np.linspace(0, np.pi * 2, w)[None, :]
+    img = np.stack(
+        [
+            127 + 90 * np.sin(yy * rng.uniform(0.5, 2) + c)
+            * np.cos(xx * rng.uniform(0.5, 2) - c)
+            for c in range(3)
+        ],
+        axis=2,
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444():
+    px = _smooth(40, 56, 1)
+    got = decode_jpeg(encode_jpeg(px))
+    assert got.shape == px.shape
+    # all-ones quant: error budget = FDCT rounding + color transform
+    assert np.max(np.abs(got.astype(int) - px.astype(int))) <= 4
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    px = _smooth(33, 41, 2)  # odd dims force MCU padding + crop
+    got = decode_jpeg(encode_jpeg(px, subsample=True))
+    assert got.shape == px.shape
+    # chroma is 2x2 box-averaged then replicated: bound the luma tightly
+    # and the chroma loosely
+    y_got = got @ np.array([0.299, 0.587, 0.114])
+    y_want = px @ np.array([0.299, 0.587, 0.114])
+    assert np.max(np.abs(y_got - y_want)) <= 6
+    assert np.mean(np.abs(got.astype(int) - px.astype(int))) <= 10
+
+
+def test_jpeg_roundtrip_grayscale():
+    g = _smooth(24, 24, 3)[:, :, :1]
+    px = np.repeat(g, 3, axis=2)
+    got = decode_jpeg(encode_jpeg(px, gray=True))
+    assert got.shape == (24, 24, 3)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+    assert np.max(np.abs(got[:, :, 0].astype(int) - g[:, :, 0].astype(int))) <= 3
+
+
+def test_jpeg_restart_markers():
+    px = _smooth(48, 48, 4)
+    plain = decode_jpeg(encode_jpeg(px))
+    with_rst = decode_jpeg(encode_jpeg(px, restart_interval=3))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_progressive_and_exotic_rejected():
+    px = _smooth(16, 16, 5)
+    data = bytearray(encode_jpeg(px))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+    data[i + 1] = 0xC3  # lossless
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_corrupt_and_truncated():
+    px = _smooth(16, 16, 6)
+    data = encode_jpeg(px)
+    with pytest.raises(ValueError):
+        decode_jpeg(data[:20])  # truncated before scan
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG1234")  # not a JPEG
+    # truncated mid-scan: the bit reader runs off the end
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
+
+
+def test_jpeg_appn_comment_skipped():
+    px = _smooth(16, 16, 7)
+    data = encode_jpeg(px)
+    # splice an APP0 + COM right after SOI
+    extra = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02" + b"\x00" * 7
+        + b"\xff\xfe" + struct.pack(">H", 7) + b"hello"
+    )
+    spliced = data[:2] + extra + data[2:]
+    assert np.array_equal(decode_jpeg(spliced), decode_jpeg(data))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.booleans(),
+)
+def test_jpeg_roundtrip_fuzz(h, w, seed, sub):
+    px = _smooth(h, w, seed)
+    got = decode_jpeg(encode_jpeg(px, subsample=sub))
+    assert got.shape == (h, w, 3)
+    if sub:
+        # 4:2:0 genuinely discards chroma detail (the _smooth fixtures put
+        # full-amplitude sinusoids in every channel); the luma path must
+        # stay near-exact, the overall error is the subsampling loss.
+        lum = np.array([0.299, 0.587, 0.114])
+        assert np.max(np.abs(got @ lum - px @ lum)) <= 6
+        assert np.mean(np.abs(got.astype(int) - px.astype(int))) <= 30
+    else:
+        assert np.max(np.abs(got.astype(int) - px.astype(int))) <= 4
+
+
+def test_jpeg_via_decode_image_and_features(spark):
+    # decode_image dispatches JPEG payloads; image_features extracts a
+    # real feature for them (no more NotImplementedError for baseline).
+    from datasketch_spark.operators.multimodal import decode_image, image_features
+
+    px = _smooth(24, 32, 9)
+    payload = encode_jpeg(px)
+    got = decode_image(payload)
+    assert got.shape == (24, 32, 3)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload))], ["media_id", "payload"]
+    )
+    rows = image_features(media).collect()
+    assert len(rows) == 1 and rows[0]["status"] == "ok"
+    assert len(rows[0]["feature"]) == 64

@@ -98,7 +98,9 @@ def test_real_feature_operators_with_quarantine(spark):
     assert rows[2]["status"] == "ok"
     assert rows[1]["feature"] != rows[2]["feature"]
     assert rows[3]["feature"] is None
-    assert "NotImplementedError" in rows[3]["status"] and "pillow" in rows[3]["status"]
+    # Truncated JPEG junk quarantines with a named reason (baseline JPEG
+    # itself decodes for real since r5 — operators/jpeg.py).
+    assert "ValueError" in rows[3]["status"] and "JPEG" in rows[3]["status"]
     assert rows[4]["feature"] is None
 
     tone = encode_wav(0.3 * np.sin(np.linspace(0, 700, 4000)))
@@ -207,10 +209,13 @@ def test_png_rejects_unsupported_variants():
     bad[8 + 8 + 8] = 16
     with pytest.raises(NotImplementedError):
         decode_png(bytes(bad))
-    # decode_image dispatch: BMP/PNG real, JPEG named as needing pillow.
+    # decode_image dispatch: BMP/PNG real; truncated JPEG is a ValueError
+    # (decoded for real since r5); WebP named as needing pillow.
     assert decode_image(encode_png(px)).shape == (4, 4, 3)
-    with pytest.raises(NotImplementedError, match="pillow"):
+    with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0JFIFxxxx")
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(b"RIFF\x00\x01\x00\x00WEBPVP8 ")
 
 
 def test_image_features_decodes_png_rows(spark):
@@ -509,8 +514,8 @@ def test_decode_image_dispatch_gif_tiff():
     assert decode_image(encode_gif(idx, palette)).shape == (5, 5, 3)
     rgb = rng.randint(0, 256, size=(5, 5, 3)).astype(np.uint8)
     assert decode_image(encode_tiff(rgb)).shape == (5, 5, 3)
-    with pytest.raises(NotImplementedError, match="pillow"):
-        decode_image(b"\xff\xd8\xff\xe0JFIF\x00\x00")
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0JFIF\x00\x00")  # truncated JPEG
 
 
 def encode_animated_gif(frames, palette, sw, sh, bg_idx=0) -> bytes:
