@@ -39,7 +39,7 @@ depth-1-join plan this replaces).
 
 from __future__ import annotations
 
-from functools import lru_cache
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -147,13 +147,20 @@ def prefix_table(
     return out
 
 
-@lru_cache(maxsize=32)
+_EMPTY_PREFIX_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+
+
 def _empty_prefix_hashes(spark, l_trees: int, depths: tuple) -> tuple:
     """The (tree, depth) prefix hashes of the never-updated all-MAX_HASH
-    signature — computed once with the same expressions prefix_table uses
-    (mirrors ``lsh._empty_band_hashes``). A live document collides with one
-    of these only if a signature slot equals MAX_HASH, probability ~2^-32
-    per slot."""
+    signature — computed once per (session, shape) with the same
+    expressions prefix_table uses (mirrors ``lsh._empty_band_hashes``,
+    same WeakKeyDictionary-per-session caching per the r4 advice). A live
+    document collides with one of these only if a signature slot equals
+    MAX_HASH, probability ~2^-32 per slot."""
+    per_shape = _EMPTY_PREFIX_CACHE.setdefault(spark, {})
+    key = (l_trees, depths)
+    if key in per_shape:
+        return per_shape[key]
     from datasketch_spark.functions.hashing import MAX_HASH
 
     exprs = []
@@ -167,7 +174,8 @@ def _empty_prefix_hashes(spark, l_trees: int, depths: tuple) -> tuple:
                 )
             )
     row = spark.range(1).select(F.array(*exprs).alias("h")).collect()[0]
-    return tuple(row["h"])
+    per_shape[key] = tuple(row["h"])
+    return per_shape[key]
 
 
 def topk_query(

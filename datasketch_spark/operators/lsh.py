@@ -23,7 +23,7 @@ no Python UDFs.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -85,10 +85,19 @@ def bands_table(
     )
 
 
-@lru_cache(maxsize=16)
+_EMPTY_BAND_CACHE: "WeakKeyDictionary" = WeakKeyDictionary()
+
+
 def _empty_band_hashes(spark, cfg: DedupConfig) -> tuple:
     """The b band hashes of the never-updated (all-MAX_HASH) signature —
-    computed once with the same expressions used by band_hash_array."""
+    computed once per (session, config) with the same expressions used by
+    band_hash_array. Cached in a WeakKeyDictionary keyed on the session so
+    long-lived processes (notebooks) that restart Spark don't pin dead
+    sessions the way an lru_cache would (r4 advice)."""
+    per_cfg = _EMPTY_BAND_CACHE.setdefault(spark, {})
+    key = (cfg.b, cfg.r)
+    if key in per_cfg:
+        return per_cfg[key]
     from datasketch_spark.functions.hashing import MAX_HASH
 
     row = spark.range(1).select(
@@ -102,7 +111,8 @@ def _empty_band_hashes(spark, cfg: DedupConfig) -> tuple:
             ]
         ).alias("h")
     ).collect()[0]
-    return tuple(row["h"])
+    per_cfg[key] = tuple(row["h"])
+    return per_cfg[key]
 
 
 def bucket_histogram(bands: DataFrame) -> DataFrame:

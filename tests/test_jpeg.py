@@ -78,11 +78,11 @@ def _mag(v):
     return s, bits
 
 
-def _encode_blocks(writer, blocks, pred, dc_map, ac_map):
+def _encode_blocks(writer, blocks, pred, dc_map, ac_map, qtab):
     """blocks: (n, 8, 8) float spatial (level-shifted); returns new pred."""
     for blk in blocks:
         coefs = _C @ blk @ _C.T
-        q = np.round(coefs).astype(np.int64).reshape(-1)[_ZZ]
+        q = np.round(coefs / qtab).astype(np.int64).reshape(-1)[_ZZ]
         s, bits = _mag(int(q[0]) - pred)
         code, ln = dc_map[s]
         writer.put(code, ln)
@@ -108,12 +108,12 @@ def _encode_blocks(writer, blocks, pred, dc_map, ac_map):
     return pred
 
 
-def _used_ac_symbols(planes_blocks):
+def _used_ac_symbols(planes_blocks, qtab):
     used = {0x00, 0xF0}
     for blocks, _ in planes_blocks:
         for blk in blocks.reshape(-1, 8, 8):
             coefs = _C @ blk @ _C.T
-            q = np.round(coefs).astype(np.int64).reshape(-1)[_ZZ]
+            q = np.round(coefs / qtab).astype(np.int64).reshape(-1)[_ZZ]
             run = 0
             nz = np.nonzero(q[1:])[0]
             last = nz.max() if nz.size else -1
@@ -128,9 +128,29 @@ def _used_ac_symbols(planes_blocks):
     return sorted(used)
 
 
+# Standard Annex K.1 luminance quantization table (T.81), natural order —
+# used only when quality < 100 to produce realistically sparse blocks.
+_STD_LUMA_Q = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+).reshape(8, 8)
+
+
 def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
-                restart_interval: int = 0, gray: bool = False) -> bytes:
-    """Minimal baseline JFIF encoder: quality ~lossless (all-ones quant),
+                restart_interval: int = 0, gray: bool = False,
+                quality: int = 100) -> bytes:
+    """Minimal baseline JFIF encoder: quality=100 -> all-ones quant
+    (near-lossless round-trip); lower quality scales the Annex K table
+    (the libjpeg convention) for realistically sparse coefficient blocks.
     4:4:4 or 4:2:0, optional restart markers, optional grayscale."""
     h, w = rgb.shape[:2]
     if gray:
@@ -169,14 +189,20 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
         blks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
         planes_blocks.append((blks, (hs, vs)))
 
-    ac_syms = _used_ac_symbols(planes_blocks)
+    if quality >= 100:
+        qtab = np.ones((8, 8))
+    else:
+        scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+        qtab = np.clip(np.floor((_STD_LUMA_Q * scale + 50) / 100), 1, 255)
+    ac_syms = _used_ac_symbols(planes_blocks, qtab)
     assert len(ac_syms) <= 256
     ac_map = {s: (i, 9) for i, s in enumerate(ac_syms)}
     dc_map = _dc_codemap()
 
     out = bytearray(b"\xff\xd8")
-    # DQT: all-ones table 0 (near-lossless round-trip)
-    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    # DQT table 0 (values stored in zigzag order per T.81)
+    zz_q = qtab.reshape(-1)[_ZZ].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
     # SOF0
     ncomp = len(comps_px)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
@@ -216,7 +242,7 @@ def encode_jpeg(rgb: np.ndarray, subsample: bool = False,
                 for dy in range(vs)
                 for dx in range(hs)
             ]
-            preds[ci] = _encode_blocks(writer, sub, preds[ci], dc_map, ac_map)
+            preds[ci] = _encode_blocks(writer, sub, preds[ci], dc_map, ac_map, qtab)
     writer.flush()
     out += writer.out + b"\xff\xd9"
     return bytes(out)
@@ -352,3 +378,15 @@ def test_jpeg_via_decode_image_and_features(spark):
     rows = image_features(media).collect()
     assert len(rows) == 1 and rows[0]["status"] == "ok"
     assert len(rows[0]["feature"]) == 64
+
+
+def test_jpeg_quality_quantized_roundtrip():
+    # Non-trivial DQT values (scaled Annex K table): exercises the
+    # dequantize path with realistic sparse blocks, not just unit quant.
+    px = _smooth(48, 64, 12)
+    q85 = encode_jpeg(px, quality=85)
+    got = decode_jpeg(q85)
+    assert got.shape == px.shape
+    assert np.mean(np.abs(got.astype(int) - px.astype(int))) <= 6
+    # Quantization actually bites: markedly smaller stream than q100.
+    assert len(q85) < 0.6 * len(encode_jpeg(px))
