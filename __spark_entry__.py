@@ -653,6 +653,7 @@ def q_streaming_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropped from the output because xxhash64 has no DuckDB twin (the
     # bucket partition it induces is fully checked through the other
     # columns).
+    import shutil
     import tempfile
 
     from datasketch_spark.streaming.dedup_stream import streaming_lsh_claims
@@ -680,9 +681,16 @@ def q_streaming_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir).select(
-        "band_idx", "url", "first_url", "prior_count"
+    # Pin the result into the block manager, then delete the working dir
+    # (input copy + sink + checkpoint) — repeated bench runs must not
+    # accumulate temp data.
+    out = (
+        spark.read.parquet(out_dir)
+        .select("band_idx", "url", "first_url", "prior_count")
+        .localCheckpoint(eager=True)
     )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:

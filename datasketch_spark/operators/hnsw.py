@@ -399,6 +399,27 @@ _OUT_SCHEMA = StructType(
 _MAX_COLLECTED_QUERIES = 100_000
 
 
+def _collect_query_batch(queries, query_id_col: str, vec_col: str):
+    """Collect the (id, vector) query batch, refusing table-sized sets.
+
+    ONE job: limit(cap+1) bounds both the driver transfer and the check —
+    a separate count() would evaluate the query lineage twice."""
+    rows = (
+        queries.select(F.col(query_id_col).cast("long"), F.col(vec_col))
+        .limit(_MAX_COLLECTED_QUERIES + 1)
+        .collect()
+    )
+    if len(rows) > _MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"query batch exceeds {_MAX_COLLECTED_QUERIES} rows; this entry "
+            "point collects queries to the driver. Use "
+            "PartitionedHNSW(...).query_df(queries, k) for table-sized "
+            "query sets — it joins queries to partition graphs without a "
+            "driver collect."
+        )
+    return rows
+
+
 def hnsw_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -431,18 +452,7 @@ def hnsw_topk(
     rows this raises, pointing at ``PartitionedHNSW.query_df`` — the
     fully distributed path with the same output contract.
     """
-    n_q = queries.count()
-    if n_q > _MAX_COLLECTED_QUERIES:
-        raise ValueError(
-            f"hnsw_topk collects the query batch to the driver; got {n_q} "
-            f"query rows (> {_MAX_COLLECTED_QUERIES}). Use "
-            "PartitionedHNSW(...).query_df(queries, k) for table-sized "
-            "query sets — it joins queries to partition graphs without a "
-            "driver collect."
-        )
-    q_rows = queries.select(
-        F.col(query_id_col).cast("long"), F.col(vec_col)
-    ).collect()
+    q_rows = _collect_query_batch(queries, query_id_col, vec_col)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_vecs = np.array([r[1] for r in q_rows], dtype=np.float64)
 
@@ -627,16 +637,7 @@ class PartitionedHNSW:
         """(query_id, neighbor_id, dist, rank): global top-k over the
         prebuilt partition graphs (same output contract as ``hnsw_topk``).
         Table-sized query sets are refused — use ``query_df``."""
-        n_q = queries.count()
-        if n_q > _MAX_COLLECTED_QUERIES:
-            raise ValueError(
-                f"PartitionedHNSW.query collects the query batch; got "
-                f"{n_q} rows (> {_MAX_COLLECTED_QUERIES}). Use query_df "
-                "for table-sized query sets."
-            )
-        q_rows = queries.select(
-            F.col(query_id_col).cast("long"), F.col(vec_col)
-        ).collect()
+        q_rows = _collect_query_batch(queries, query_id_col, vec_col)
         q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
         q_vecs = np.array([r[1] for r in q_rows], dtype=np.float64)
         kk = k + 1 if exclude_self else k

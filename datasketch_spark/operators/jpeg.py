@@ -55,15 +55,27 @@ _DCT_C = np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16) * np.sqrt(0.25
 _DCT_C[0] *= 1 / np.sqrt(2)
 
 
+# Decode allocations scale with the SOF-declared raster; cap what a
+# single mapInPandas row may allocate (64 MP ~= a 256 MB uint8 RGB frame
+# plus coefficient stores) so corrupt/adversarial headers quarantine
+# instead of OOMing an executor.
+_MAX_PIXELS = 64_000_000
+
+
 class _HuffLUT:
     """Canonical Huffman table as a flat 16-bit lookahead: peek 16 bits,
     one index gives (symbol, code length). Build is vectorized slice
     fills (<= 256 symbols); lookup lists are plain Python for scalar
-    speed in the scan loop."""
+    speed in the scan loop. Instances are cached module-wide keyed on
+    (counts, symbols): most JPEGs in a corpus share the standard Annex K
+    tables, and the two 65,536-entry list conversions dominate decode
+    time for small images if rebuilt per image."""
 
     __slots__ = ("sym", "nbits")
 
     def __init__(self, counts: list[int], symbols: bytes) -> None:
+        if len(counts) != 16 or len(symbols) < sum(counts):
+            raise ValueError("truncated JPEG Huffman table")
         sym = np.zeros(1 << 16, dtype=np.int16)
         nbits = np.zeros(1 << 16, dtype=np.int8)
         code = 0
@@ -81,6 +93,20 @@ class _HuffLUT:
             code <<= 1
         self.sym = sym.tolist()
         self.nbits = nbits.tolist()
+
+
+_HUFF_CACHE: dict[tuple[bytes, bytes], _HuffLUT] = {}
+
+
+def _huff_lut(counts: list[int], symbols: bytes) -> _HuffLUT:
+    key = (bytes(counts), bytes(symbols))
+    lut = _HUFF_CACHE.get(key)
+    if lut is None:
+        if len(_HUFF_CACHE) >= 64:  # corpus of adversarial distinct tables
+            _HUFF_CACHE.clear()
+        lut = _HuffLUT(counts, symbols)
+        _HUFF_CACHE[key] = lut
+    return lut
 
 
 def _extend(value: int, size: int) -> int:
@@ -195,6 +221,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             while p < len(seg):
                 pq, tq = seg[p] >> 4, seg[p] & 0xF
                 p += 1
+                if p + (128 if pq else 64) > len(seg):
+                    raise ValueError("truncated JPEG DQT segment")
                 if pq:
                     vals = np.frombuffer(seg, dtype=">u2", count=64, offset=p)
                     p += 128
@@ -206,10 +234,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 0xF
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 counts = list(seg[p + 1 : p + 17])
                 total = sum(counts)
+                if p + 17 + total > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 symbols = seg[p + 17 : p + 17 + total]
-                htables[(tc, th)] = _HuffLUT(counts, symbols)
+                htables[(tc, th)] = _huff_lut(counts, symbols)
                 p += 17 + total
         elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
             prec = seg[0]
@@ -217,12 +249,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"{prec}-bit JPEG not supported (8-bit baseline only)"
                 )
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             h, w = struct.unpack_from(">HH", seg, 1)
+            if h * w > _MAX_PIXELS:
+                # Untrusted dims size every allocation downstream: refuse
+                # (-> quarantine) instead of attempting a multi-GiB
+                # np.zeros from a 200-byte corrupt payload.
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed the decode limit "
+                    f"({_MAX_PIXELS} pixels)"
+                )
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"{ncomp}-component JPEG not supported (grayscale/YCbCr)"
                 )
+            if len(seg) < 6 + 3 * ncomp:
+                raise ValueError("truncated JPEG SOF segment")
             comps = []
             for c in range(ncomp):
                 cid = seg[6 + 3 * c]
@@ -245,6 +289,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG scan before frame header")
+            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+                raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
             h, w, comps = frame
             if ns != len(comps):

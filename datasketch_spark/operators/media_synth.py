@@ -363,7 +363,7 @@ def media_roundtrip_check(media: DataFrame) -> DataFrame:
                     try:
                         decode_image(bytes(payload))
                         oks.append(False)  # decoding garbage is the bug
-                    except (ValueError, NotImplementedError, struct.error):
+                    except (ValueError, NotImplementedError, struct.error, zlib.error, IndexError):
                         oks.append(True)
                     ws.append(-1)
                     hs.append(-1)
@@ -396,7 +396,7 @@ def media_roundtrip_check(media: DataFrame) -> DataFrame:
                             )
                         )
                     )
-                except (ValueError, NotImplementedError, struct.error):
+                except (ValueError, NotImplementedError, struct.error, zlib.error, IndexError):
                     ws.append(-1)
                     hs.append(-1)
                     oks.append(False)

@@ -187,18 +187,24 @@ def streaming_lsh_claims(
         else:
             first_url, n, max_event_ms = None, 0, None
         out_url, out_first, out_prior = [], [], []
+        # Materialize ALL Arrow chunks before sorting: a group larger than
+        # maxRecordsPerBatch arrives as several pdfs, and per-chunk sorting
+        # would make first_url/prior_count depend on chunk boundaries
+        # (nondeterministic claims; breaks the batch-equivalence oracle).
+        all_urls: list = []
         for pdf in pdfs:
-            for url in sorted(pdf[key_col].tolist()):
-                if first_url is None:
-                    first_url = url
-                out_url.append(url)
-                out_first.append(first_url)
-                out_prior.append(n)
-                n += 1
+            all_urls.extend(pdf[key_col].tolist())
             if retention_ms is not None and len(pdf):
                 batch_max = int(pd.Timestamp(pdf[ts_col].max()).value // 1_000_000)
                 if max_event_ms is None or batch_max > max_event_ms:
                     max_event_ms = batch_max
+        for url in sorted(all_urls):
+            if first_url is None:
+                first_url = url
+            out_url.append(url)
+            out_first.append(first_url)
+            out_prior.append(n)
+            n += 1
         state.update((first_url, n, max_event_ms))
         if retention_ms is not None:
             # Expire when the watermark passes the bucket's newest-ever

@@ -70,6 +70,15 @@ def main() -> None:
         app_name=f"rehearsal-{n_docs}",
         master=f"local[{n_cpus}]",
         shuffle_partitions=max(n_cpus * 4, 64),
+        extra_conf={
+            # A hung python worker (socket stall) otherwise wedges the
+            # whole run on its last task forever — speculation re-launches
+            # stragglers. Observed once at 16M: task 259/260 idle 20+ min
+            # with its worker process gone.
+            "spark.speculation": "true",
+            "spark.speculation.multiplier": "4",
+            "spark.speculation.quantile": "0.9",
+        },
     )
 
     cfg = DedupConfig(threshold=0.8)

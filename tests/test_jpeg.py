@@ -390,3 +390,31 @@ def test_jpeg_quality_quantized_roundtrip():
     assert np.mean(np.abs(got.astype(int) - px.astype(int))) <= 6
     # Quantization actually bites: markedly smaller stream than q100.
     assert len(q85) < 0.6 * len(encode_jpeg(px))
+
+
+def test_jpeg_adversarial_header_quarantines_not_oom():
+    # A tiny payload whose SOF declares a huge raster must raise
+    # ValueError BEFORE any allocation sized by the untrusted dims
+    # (code-review r5: np.zeros((67M, 64)) x3 -> MemoryError/OOM-kill).
+    px = _smooth(16, 16, 13)
+    data = bytearray(encode_jpeg(px))
+    i = data.find(b"\xff\xc0")
+    struct.pack_into(">HH", data, i + 5, 65535, 65535)
+    with pytest.raises(ValueError, match="exceed the decode limit"):
+        decode_jpeg(bytes(data))
+
+
+def test_jpeg_truncated_tables_raise_valueerror():
+    # Truncated DHT / SOF segments must honor the ValueError contract,
+    # not leak IndexError past the quarantine except-lists.
+    px = _smooth(16, 16, 14)
+    data = encode_jpeg(px)
+    i = data.find(b"\xff\xc4")
+    cut_dht = data[: i + 10] + b"\xff\xd9"  # DHT cut mid-counts
+    with pytest.raises(ValueError):
+        decode_jpeg(cut_dht)
+    j = data.find(b"\xff\xc0")
+    # ncomp=3 declared but the per-component list is truncated
+    cut_sof = data[: j + 12] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(cut_sof)

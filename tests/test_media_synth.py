@@ -97,3 +97,37 @@ def test_check_flags_pixel_corruption(spark):
     bad = ids.mapInPandas(_bad_gen, schema=SYNTH_SCHEMA)
     out = media_roundtrip_check(bad).collect()
     assert len(out) == 8 and not any(r["ok"] for r in out)
+
+
+def test_check_quarantines_bitrot_instead_of_crashing(spark):
+    # A bit-rotted PNG raises zlib.error and a truncated JPEG raises
+    # IndexError deep in the decoders; the checker must report ok=False
+    # rows, not die (code-review r5: except list was narrower than
+    # image_features').
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datasketch_spark.operators.media_synth import (
+        SYNTH_SCHEMA,
+        encode_png,
+        media_payload,
+    )
+
+    png = bytearray(encode_png(media_pixels(1)))
+    png[-20] ^= 0xFF  # corrupt IDAT -> zlib.error
+    jpeg = media_payload(3)[:40]  # truncated mid-tables
+    rows = [(1, "png", bytes(png)), (3, "jpeg", bytes(jpeg))]
+
+    def _gen(batches):
+        for pdf in batches:
+            want = pdf["media_id"].tolist()
+            sel = [r for r in rows if r[0] in want]
+            yield pd.DataFrame(sel, columns=["media_id", "kind", "payload"])
+
+    media = (
+        spark.createDataFrame([(1,), (3,)], ["media_id"])
+        .mapInPandas(_gen, schema=SYNTH_SCHEMA)
+    )
+    out = {r["media_id"]: r for r in media_roundtrip_check(media).collect()}
+    assert len(out) == 2
+    assert not out[1]["ok"] and not out[3]["ok"]

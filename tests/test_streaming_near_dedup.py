@@ -276,3 +276,45 @@ def test_streaming_lsh_claims_stateful_across_restarts(spark, tmp_path):
     assert len(b_hits) >= 2
     d_rows = [r for r in out2 if r["url"] == "d"]
     assert d_rows and all(r["prior_count"] == 0 for r in d_rows)
+
+
+def test_streaming_claims_sort_spans_arrow_chunks(spark, tmp_path):
+    # A state group larger than arrow maxRecordsPerBatch arrives as
+    # SEVERAL pdf chunks; first_url/prior_count must be computed over the
+    # globally sorted group, not per chunk (code-review r5: per-chunk
+    # sorting made claims depend on chunk boundaries). The global min url
+    # is placed LAST in scan order so any per-chunk scheme that claims
+    # early gets first_url wrong.
+    from datasketch_spark.streaming.dedup_stream import streaming_lsh_claims
+
+    text = "identical boilerplate text shared by every row " * 6
+    rows = [(f"b{i}", text) for i in range(9)] + [("a", text)]
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(rows, "url string, text string").coalesce(
+        1
+    ).write.parquet(str(src / "b0"))
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = spark.readStream.schema("url string, text string").parquet(
+            str(src / "*")
+        )
+        claims = streaming_lsh_claims(stream, CFG, key_col="url")
+        q = (
+            claims.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert out
+    assert all(r["first_url"] == "a" for r in out)
+    expect = {u: i for i, u in enumerate(sorted(u for u, _ in rows))}
+    for r in out:
+        assert r["prior_count"] == expect[r["url"]], r
