@@ -122,6 +122,15 @@ def dedup_worker(n_cpus: int, n_docs: int) -> None:
         app_name=f"dedup-bench-{n_cpus}",
         master=f"local[{n_cpus}]",
         shuffle_partitions=max(n_cpus * 2, 16),
+        extra_conf={
+            # A pyspark worker occasionally hangs on this VM (process
+            # gone, JVM waiting on its socket forever — observed twice on
+            # long runs); speculation re-launches the straggler instead
+            # of wedging the leg.
+            "spark.speculation": "true",
+            "spark.speculation.multiplier": "4",
+            "spark.speculation.quantile": "0.9",
+        },
     )
     pages = synth_pages(spark, n_docs, seed=42, partitions=max(n_cpus * 2, 8))
     # Materialize the input first: generation time is corpus prep, not

@@ -63,8 +63,12 @@ def bands_table(
     column a streaming consumer needs for watermark-scoped state).
 
     ``posexplode`` of the band-hash array: b rows per doc, one shuffle on
-    write. At scale this table is written bucketed by band_hash so the
-    self-join below is co-located.
+    write. At scale, persist this table with
+    ``sources.io.write_bucketed(bands, ..., bucket_cols=["band_hash"])``:
+    the bucketed scan's hash distribution satisfies the
+    ``groupBy(band_idx, band_hash)`` chains downstream, so
+    ``candidate_pairs``/``bucket_histogram`` run shuffle-free against it
+    (asserted in ``test_plans.py::test_bucketed_bands_elide_groupby_shuffles``).
 
     Docs with an empty signature (null/empty text — never updated) are
     excluded: they all share one constant signature, which would form a

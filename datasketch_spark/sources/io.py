@@ -136,3 +136,43 @@ class NoopCheckpoints(CheckpointManager):
 
     def materialize(self, df, stage, partition_by=None):
         return df.localCheckpoint(eager=False)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 256,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist a DataFrame as a BUCKETED table and return the re-read
+    handle (``spark.table``), which carries the bucketing metadata.
+
+    This is the co-location primitive the LSH layer's scale story leans
+    on: a bands table bucketed by ``band_hash`` hash-partitions every
+    bucket's rows into one file group, so the downstream
+    ``groupBy(band_idx, band_hash)`` chains in ``candidate_pairs`` /
+    ``bucket_histogram`` are satisfied by the scan's existing
+    distribution — Catalyst drops their shuffles entirely (hash
+    partitioning on a SUBSET of the grouping keys satisfies the clustered
+    distribution). At 100 TB that shuffle is ~9 rows per doc of the whole
+    corpus; writing the table bucketed once amortizes it across every
+    query that groups or self-joins on the bucket key.
+
+    ``n_buckets`` should be sized like shuffle partitions at the target
+    scale (files per bucket stay parallel-readable). Requires a table
+    name (bucketing metadata lives in the catalog); pass ``path`` to
+    control the storage location.
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+    return df.sparkSession.table(table)

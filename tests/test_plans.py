@@ -103,3 +103,49 @@ def test_verify_stage_stays_jvm_side(spark):
     assert "zip_with" in plan_str(verified, "simple") or "ZipWith" in plan_str(
         verified, "formatted"
     )
+
+
+def test_bucketed_bands_elide_groupby_shuffles(spark, tmp_path):
+    # The scale contract stated in lsh.bands_table's docstring, made
+    # checkable: writing the bands table bucketed by band_hash makes the
+    # candidate_pairs/bucket_histogram groupBys reuse the scan's
+    # distribution — their shuffles disappear from the physical plan.
+    from datasketch_spark.config import DedupConfig
+    from datasketch_spark.operators.lsh import (
+        bands_table,
+        bucket_histogram,
+        candidate_pairs,
+        with_signature,
+    )
+    from datasketch_spark.plans.inspect import shuffle_count
+    from datasketch_spark.sources.io import write_bucketed
+
+    cfg = DedupConfig(threshold=0.5)
+    docs = spark.createDataFrame(
+        [(i, f"some shared words plus token{i} and token{i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    bands = bands_table(with_signature(docs, cfg), cfg)
+    spark.sql("DROP TABLE IF EXISTS bands_bucketed_test")
+    bucketed = write_bucketed(
+        bands,
+        "bands_bucketed_test",
+        bucket_cols=["band_hash"],
+        n_buckets=8,
+        sort_cols=["band_hash"],
+        path=str(tmp_path / "bands_bucketed"),
+    )
+    try:
+        for op in (bucket_histogram, lambda b: candidate_pairs(b, cfg)):
+            plain_shuffles = shuffle_count(op(bands))
+            bucketed_shuffles = shuffle_count(op(bucketed))
+            assert bucketed_shuffles < plain_shuffles, (
+                plain_shuffles,
+                bucketed_shuffles,
+            )
+        # Same results either way.
+        a = {tuple(r) for r in candidate_pairs(bands, cfg).collect()}
+        b = {tuple(r) for r in candidate_pairs(bucketed, cfg).collect()}
+        assert a == b and a
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bands_bucketed_test")
