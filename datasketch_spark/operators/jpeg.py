@@ -16,10 +16,15 @@ numpy only:
     np.repeat — pathologically slow on this host, see BENCH.md), and
     the JFIF YCbCr -> RGB transform.
 
-Progressive (SOF2), hierarchical, arithmetic-coded and 12-bit variants
-raise NotImplementedError naming exactly what is missing; truncated or
-corrupt payloads raise ValueError — both quarantine upstream
-(``multimodal.image_features``), never crash the job.
+Progressive JPEG (SOF2) decodes natively too: scans accumulate into the
+per-component coefficient stores — DC first/refinement, AC spectral bands
+with EOB-run skipping, and AC successive-approximation refinement
+(correction bits) per T.81 G.1.2 — then the same vectorized
+reconstruction runs once at EOI. Hierarchical, arithmetic-coded and
+12-bit variants raise NotImplementedError naming exactly what is
+missing; truncated or corrupt payloads raise ValueError — both
+quarantine upstream (``multimodal.image_features``), never crash the
+job.
 
 Reference parity note: the reference repo (ekzhu/datasketch) has no
 image story; this module exists for the LLM-pipeline brief
@@ -194,15 +199,17 @@ def _split_scan(payload: bytes, pos: int) -> tuple[list[bytes], int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline sequential JPEG -> (H, W, 3) uint8 RGB (grayscale
-    replicated). ValueError for malformed payloads, NotImplementedError
-    for progressive/arithmetic/12-bit/hierarchical variants."""
+    """Baseline sequential OR progressive JPEG -> (H, W, 3) uint8 RGB
+    (grayscale replicated). ValueError for malformed payloads,
+    NotImplementedError for arithmetic/12-bit/hierarchical variants."""
     if payload is None or len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffLUT] = {}
     restart_interval = 0
     frame = None  # (h, w, comps) ; comps: (cid, hs, vs, tq)
+    progressive = False
+    prog_state = None  # (geom, coef stores) once the first scan arrives
     i = 2
     n = len(payload)
     while i + 4 <= n:
@@ -243,7 +250,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[p + 17 : p + 17 + total]
                 htables[(tc, th)] = _huff_lut(counts, symbols)
                 p += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # baseline / ext seq / progressive
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(
@@ -273,12 +281,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 hv = seg[7 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * c]))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) not supported: needs spectral-"
-                "selection/successive-approximation scan accumulation; "
-                "baseline sequential decodes natively"
-            )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (lossless/hierarchical/arithmetic) "
@@ -289,24 +291,54 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG scan before frame header")
-            if len(seg) < 1 or len(seg) < 1 + 2 * seg[0]:
+            if len(seg) < 4 + 2 * (seg[0] if seg else 0):
                 raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
-            h, w, comps = frame
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "multi-scan (non-interleaved) baseline JPEG not "
-                    "supported: one interleaved scan only"
-                )
             scan_tabs = {}
+            scan_order = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_tabs[cs] = (tt >> 4, tt & 0xF)
-            segments, _end = _split_scan(payload, i + 2 + seglen)
-            return _decode_scan(
-                frame, scan_tabs, qtables, htables, restart_interval, segments
+                scan_order.append(cs)
+            segments, end = _split_scan(payload, i + 2 + seglen)
+            if not progressive:
+                if ns != len(frame[2]):
+                    raise NotImplementedError(
+                        "multi-scan (non-interleaved) baseline JPEG not "
+                        "supported: one interleaved scan only"
+                    )
+                return _decode_scan(
+                    frame, scan_tabs, qtables, htables, restart_interval, segments
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if prog_state is None:
+                prog_state = _prog_init(frame)
+            _decode_prog_scan(
+                frame,
+                prog_state,
+                scan_order,
+                scan_tabs,
+                htables,
+                restart_interval,
+                segments,
+                ss,
+                se,
+                ah,
+                al,
             )
+            i = end
+            continue
         i += 2 + seglen
+    if progressive and prog_state is not None:
+        h, w, comps = frame
+        quants = []
+        for _cid, _hs, _vs, tq in comps:
+            if tq not in qtables:
+                raise ValueError("JPEG frame references missing DQT table")
+            quants.append(qtables[tq])
+        return _reconstruct(frame, quants, prog_state[1])
     raise ValueError("no JPEG scan found (truncated payload?)")
 
 
@@ -402,10 +434,248 @@ def _decode_scan(frame, scan_tabs, qtables, htables, restart_interval, segments)
         mcu += 1
         in_seg += 1
 
-    # ---- vectorized phase: dequant + de-zigzag + IDCT + assemble ----
+    return _reconstruct(frame, [pc[4] for pc in per_comp], coef)
+
+
+def _geometry(frame):
+    """Shared layout math: MCU grid and per-component padded/real block
+    dims. Coefficient stores are MCU-ordered (block index =
+    mcu * hs * vs + (by % vs) * hs + (bx % hs)); non-interleaved
+    progressive scans raster over the REAL block grid and map through
+    ``_blk_idx``."""
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero-dimension JPEG frame")
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    for _cid, hs, vs, _tq in comps:
+        if hs not in (1, 2, 4) or vs not in (1, 2, 4):
+            raise ValueError("bad JPEG sampling factors")
+    if max_h not in (1, 2, 4) or max_v not in (1, 2, 4):
+        raise ValueError("bad JPEG sampling factors")
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    per_comp = []
+    for _cid, hs, vs, _tq in comps:
+        cw = -(-w * hs // max_h)  # component sample dims (T.81 A.1.1)
+        ch = -(-h * vs // max_v)
+        per_comp.append(
+            {
+                "hs": hs,
+                "vs": vs,
+                "bw_real": -(-cw // 8),
+                "bh_real": -(-ch // 8),
+            }
+        )
+    return max_h, max_v, mcus_x, mcus_y, per_comp
+
+
+def _blk_idx(g, mcus_x, by, bx):
+    """(by, bx) raster position -> MCU-ordered store index."""
+    hs, vs = g["hs"], g["vs"]
+    return ((by // vs) * mcus_x + bx // hs) * (hs * vs) + (by % vs) * hs + bx % hs
+
+
+def _prog_init(frame):
+    geom = _geometry(frame)
+    _max_h, _max_v, mcus_x, mcus_y, per_comp = geom
+    coef = [
+        np.zeros((mcus_x * mcus_y * g["hs"] * g["vs"], 64), dtype=np.int32)
+        for g in per_comp
+    ]
+    return geom, coef
+
+
+def _huff_read(reader, lut):
+    idx = reader.peek16()
+    s = lut.sym[idx]
+    ln = lut.nbits[idx]
+    if ln == 0:
+        raise ValueError("corrupt JPEG Huffman code")
+    reader.skip(ln)
+    return s
+
+
+def _decode_prog_scan(
+    frame,
+    prog_state,
+    scan_order,
+    scan_tabs,
+    htables,
+    restart_interval,
+    segments,
+    ss,
+    se,
+    ah,
+    al,
+):
+    """One progressive scan accumulated into the coefficient stores
+    (T.81 G.1.2): DC first/refine (interleaved or single-component), AC
+    first with EOB-run skipping, AC successive-approximation refinement
+    with correction bits. Restart markers reset predictors/EOB runs per
+    entropy segment."""
+    geom, coef = prog_state
+    _max_h, _max_v, mcus_x, mcus_y, per_comp = geom
+    h, w, comps = frame
+    cid_to_ci = {c[0]: ci for ci, c in enumerate(comps)}
+    try:
+        scan_cis = [cid_to_ci[cid] for cid in scan_order]
+    except KeyError:
+        raise ValueError("JPEG scan references unknown component")
+    if se > 63 or ss > se or (ss == 0 and se != 0):
+        # A progressive scan is either DC-only (0,0) or a pure AC band.
+        raise ValueError("bad JPEG spectral selection")
+    if ss > 0 and len(scan_cis) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    def lut_for(cid, cls):
+        t = scan_tabs[cid][0] if cls == 0 else scan_tabs[cid][1]
+        try:
+            return htables[(cls, t)]
+        except KeyError:
+            raise ValueError("JPEG scan references missing DHT table")
+
+    # Units per restart segment: MCUs when interleaved, blocks of the
+    # component's REAL grid when single-component (T.81 non-interleaved).
+    interleaved = len(scan_cis) > 1
+    if interleaved:
+        units = [None] * (mcus_x * mcus_y)  # iterate by mcu index
+        n_units = len(units)
+    else:
+        g = per_comp[scan_cis[0]]
+        n_units = g["bw_real"] * g["bh_real"]
+    per_seg = restart_interval if restart_interval else n_units
+    seg_idx = -1
+    reader = None
+    unit = 0
+    preds = [0] * len(comps)
+    eobrun = 0
+    in_seg = per_seg  # force initial segment load
+    p1 = 1 << al
+
+    while unit < n_units:
+        if in_seg == per_seg:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("truncated JPEG scan (missing restart segment)")
+            reader = _BitReader(segments[seg_idx])
+            preds = [0] * len(comps)
+            eobrun = 0
+            in_seg = 0
+        if ss == 0:  # DC scan
+            blocks = []
+            if interleaved:
+                mcu = unit
+                for ci in scan_cis:
+                    g = per_comp[ci]
+                    nb = g["hs"] * g["vs"]
+                    for b in range(nb):
+                        blocks.append((ci, mcu * nb + b))
+            else:
+                ci = scan_cis[0]
+                g = per_comp[ci]
+                by, bx = divmod(unit, g["bw_real"])
+                blocks.append((ci, _blk_idx(g, mcus_x, by, bx)))
+            for ci, bi in blocks:
+                row = coef[ci][bi]
+                if ah == 0:  # DC first
+                    s = _huff_read(reader, lut_for(comps[ci][0], 0))
+                    diff = _extend(reader.read(s), s)
+                    preds[ci] += diff
+                    row[0] = preds[ci] << al
+                else:  # DC refinement: one raw bit per block
+                    if reader.read(1):
+                        row[0] |= p1
+        else:  # AC scan, single component
+            ci = scan_cis[0]
+            g = per_comp[ci]
+            by, bx = divmod(unit, g["bw_real"])
+            row = coef[ci][_blk_idx(g, mcus_x, by, bx)]
+            ac = lut_for(comps[ci][0], 1)
+            if ah == 0:  # AC first (band fill)
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        rs = _huff_read(reader, ac)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1 + (reader.read(r) if r else 0)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC coefficient overflow")
+                        row[k] = _extend(reader.read(s), s) << al
+                        k += 1
+            else:  # AC refinement (correction bits), T.81 G.1.2.3
+                m1 = -p1
+                k = ss
+                sweep = False
+                if eobrun > 0:
+                    # Block fully inside an earlier EOB run: correction
+                    # bits only.
+                    eobrun -= 1
+                    sweep = True
+                else:
+                    while k <= se:
+                        rs = _huff_read(reader, ac)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r < 15:
+                                # Count = ADDITIONAL blocks after this
+                                # one; THIS block still gets the
+                                # correction sweep below (even when the
+                                # additional count is zero).
+                                eobrun = (1 << r) - 1 + (
+                                    reader.read(r) if r else 0
+                                )
+                                sweep = True
+                                break
+                            val = 0  # ZRL: 16 zero-history positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "corrupt JPEG AC refinement code"
+                                )
+                            val = p1 if reader.read(1) else m1
+                        while k <= se:
+                            c = int(row[k])
+                            if c != 0:
+                                if reader.read(1) and (c & p1) == 0:
+                                    row[k] = c + (p1 if c > 0 else m1)
+                            else:
+                                if r == 0:
+                                    if val:
+                                        row[k] = val
+                                    k += 1
+                                    break
+                                r -= 1
+                            k += 1
+                if sweep:
+                    while k <= se:
+                        c = int(row[k])
+                        if c != 0 and reader.read(1) and (c & p1) == 0:
+                            row[k] = c + (p1 if c > 0 else m1)
+                        k += 1
+        if reader.exhausted_early():
+            raise ValueError("truncated JPEG scan")
+        unit += 1
+        in_seg += 1
+
+
+def _reconstruct(frame, quants, coef):
+    """Dequant + de-zigzag + batched IDCT + plane assembly + color —
+    shared by the baseline and progressive paths."""
+    h, w, comps = frame
+    max_h, max_v, mcus_x, mcus_y, per_comp = _geometry(frame)
     planes = []
-    for ci, (hs, vs, _d, _a, quant) in enumerate(per_comp):
-        blocks = coef[ci].astype(np.float64) * quant[None, :]  # zigzag order
+    for ci, g in enumerate(per_comp):
+        hs, vs = g["hs"], g["vs"]
+        blocks = coef[ci].astype(np.float64) * quants[ci][None, :]  # zigzag
         nat = np.zeros_like(blocks)
         nat[:, ZIGZAG] = blocks  # de-zigzag: natural[zz[i]] = zig[i]
         nat = nat.reshape(-1, 8, 8)

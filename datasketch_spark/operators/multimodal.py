@@ -7,12 +7,13 @@ Decode support is tiered by what this environment can actually do:
     incl. paletted (chunk parse + stdlib zlib inflate + vectorized
     scanline unfilter), GIF87a/89a first frame (vectorized LZW,
     interlace, local/global palettes), baseline TIFF (uncompressed +
-    PackBits strips, both byte orders), baseline sequential JPEG
-    (``operators.jpeg``: Huffman-LUT scan decode + batched numpy IDCT),
+    PackBits strips, both byte orders), baseline AND progressive
+    JPEG (``operators.jpeg``: Huffman-LUT scan decode + batched numpy
+    IDCT; progressive scans accumulate per T.81 G.1.2),
     and PCM WAV audio (stdlib ``wave``), feeding real feature kernels
     (block-mean image grid / RMS + zero-crossings + spectral shape).
   - Formats that genuinely need entropy codec libraries absent here
-    (progressive JPEG, WebP, MP3/MP4): those raise NotImplementedError
+    (WebP, MP3/MP4): those raise NotImplementedError
     naming the dependency, and the seeded ``deterministic_fake``
     stand-in keeps the Spark-side plumbing — schema, batching,
     partitioning, UDF signatures — testable end-to-end.
@@ -613,10 +614,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: BMP, PNG, GIF, baseline TIFF, and baseline
-    sequential JPEG decode for real; formats whose entropy codecs are
-    genuinely absent here (WebP; progressive JPEG) raise
-    NotImplementedError naming the dependency."""
+    """Dispatch on magic bytes: BMP, PNG, GIF, baseline TIFF, and JPEG
+    (baseline + progressive) decode for real; formats whose entropy
+    codecs are genuinely absent here (WebP) raise NotImplementedError
+    naming the dependency."""
     if payload is None or len(payload) < 8:
         raise ValueError("not an image payload")
     if payload[:2] == b"BM":
@@ -632,8 +633,8 @@ def decode_image(payload: bytes) -> np.ndarray:
 
         return decode_jpeg(payload)
     raise NotImplementedError(
-        "WebP needs pillow; BMP, PNG, GIF, baseline TIFF, and baseline "
-        "JPEG decode codec-free"
+        "WebP needs pillow; BMP, PNG, GIF, baseline TIFF, and JPEG "
+        "(baseline + progressive) decode codec-free"
     )
 
 

@@ -305,12 +305,14 @@ def test_jpeg_restart_markers():
     assert np.array_equal(plain, with_rst)
 
 
-def test_jpeg_progressive_and_exotic_rejected():
+def test_jpeg_exotic_sofs_rejected_and_fake_progressive_malformed():
     px = _smooth(16, 16, 5)
     data = bytearray(encode_jpeg(px))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # A baseline stream relabeled SOF2 is MALFORMED progressive (its scan
+    # spans DC+AC, which progressive forbids) — ValueError, not a crash.
+    data[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="spectral"):
         decode_jpeg(bytes(data))
     data[i + 1] = 0xC3  # lossless
     with pytest.raises(NotImplementedError, match="SOF3"):
@@ -418,3 +420,278 @@ def test_jpeg_truncated_tables_raise_valueerror():
     cut_sof = data[: j + 12] + b"\xff\xd9"
     with pytest.raises(ValueError):
         decode_jpeg(cut_sof)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (test-side): DC first+refine, per-component AC
+# spectral bands, one AC successive-approximation refinement pass.
+# ---------------------------------------------------------------------------
+
+
+class _ProgWriter(_BitWriter):
+    """Adds the progressive helpers: EOB-run + buffered correction bits."""
+
+    def __init__(self, ac_map):
+        super().__init__()
+        self.ac_map = ac_map
+        self.eobrun = 0
+        self.held = []  # correction bits pending behind the EOB run
+
+    def sym(self, s):
+        self.put(*self.ac_map[s])
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.put(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.held:
+            self.put(b, 1)
+        self.held = []
+
+
+def _prog_plan(rgb, subsample, quality):
+    """Reuse the baseline encoder's plane/quant machinery: returns
+    (h, w, sampling, per-comp quantized zigzag blocks in PADDED-grid
+    raster order, real block dims, mcus_x/y, qtab)."""
+    h, w = rgb.shape[:2]
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    if subsample:
+        sampling = [(2, 2), (1, 1), (1, 1)]
+        eh, ew = (h + 1) & ~1, (w + 1) & ~1
+        cbp = np.pad(cb, ((0, eh - h), (0, ew - w)), mode="edge")
+        crp = np.pad(cr, ((0, eh - h), (0, ew - w)), mode="edge")
+        cb = cbp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+        cr = crp.reshape(eh // 2, 2, ew // 2, 2).mean(axis=(1, 3))
+    else:
+        sampling = [(1, 1)] * 3
+    max_h = max(s[0] for s in sampling)
+    max_v = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * max_h))
+    mcus_y = -(-h // (8 * max_v))
+    if quality >= 100:
+        qtab = np.ones((8, 8))
+    else:
+        scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+        qtab = np.clip(np.floor((_STD_LUMA_Q * scale + 50) / 100), 1, 255)
+    comps = []
+    for px, (hs, vs) in zip([y, cb, cr], sampling):
+        pw, ph = mcus_x * hs * 8, mcus_y * vs * 8
+        padded = np.pad(
+            px, ((0, ph - px.shape[0]), (0, pw - px.shape[1])), mode="edge"
+        ) - 128.0
+        blks = (
+            padded.reshape(ph // 8, 8, pw // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+        )
+        q = np.round((_C @ blks @ _C.T) / qtab).astype(np.int64)
+        zz = q.reshape(-1, 64)[:, _ZZ]  # padded-grid raster order
+        cw, ch = -(-px.shape[1] // 8), -(-px.shape[0] // 8)
+        comps.append(
+            {"hs": hs, "vs": vs, "zz": zz, "bw": pw // 8, "bh": ph // 8,
+             "bw_real": cw, "bh_real": ch}
+        )
+    return h, w, sampling, comps, mcus_x, mcus_y, qtab
+
+
+def encode_jpeg_progressive(rgb, subsample=False, quality=90):
+    """Progressive JFIF: DC(Al=1) -> DC refine -> AC 1..5 and 6..63
+    (Al=1) per component -> AC refinement (Ah=1, Al=0) per component."""
+    h, w, sampling, comps, mcus_x, mcus_y, qtab = _prog_plan(
+        rgb, subsample, quality
+    )
+
+    # One flat-9-bit AC table over every symbol any scan can use.
+    ac_syms = sorted(
+        {0xF0}
+        | {r << 4 for r in range(15)}            # EOBn
+        | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    )
+    assert len(ac_syms) <= 256
+    ac_map = {s: (i, 9) for i, s in enumerate(ac_syms)}
+    dc_map = _dc_codemap()
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = qtab.reshape(-1)[_ZZ].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci, (hs, vs) in enumerate(sampling):
+        sof += bytes([ci + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS)
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)
+    dht += bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos(comp_ids, ss, se, ah, al):
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            seg += bytes([cid, 0x00])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    def pad_idx(c, by, bx):
+        return by * c["bw"] + bx
+
+    # --- scan 1: DC first, interleaved, Al=1 ---
+    out += sos([1, 2, 3], 0, 0, 0, 1)
+    wtr = _ProgWriter(ac_map)
+    preds = [0, 0, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for dy in range(c["vs"]):
+                    for dx in range(c["hs"]):
+                        dc = int(c["zz"][pad_idx(c, my * c["vs"] + dy, mx * c["hs"] + dx)][0])
+                        v = dc >> 1  # arithmetic shift (T.81 DC point transform)
+                        s, bits = _mag(v - preds[ci])
+                        preds[ci] = v
+                        code, ln = dc_map[s]
+                        wtr.put(code, ln)
+                        if s:
+                            wtr.put(bits, s)
+    wtr.flush()
+    out += wtr.out
+
+    # --- scan 2: DC refinement, Al=0 (one raw bit per block) ---
+    out += sos([1, 2, 3], 0, 0, 1, 0)
+    wtr = _ProgWriter(ac_map)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                for dy in range(c["vs"]):
+                    for dx in range(c["hs"]):
+                        dc = int(c["zz"][pad_idx(c, my * c["vs"] + dy, mx * c["hs"] + dx)][0])
+                        wtr.put(dc & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # --- AC first scans (Al=1), per component, two spectral bands ---
+    def ac_first(c, ss, se, al):
+        wtr = _ProgWriter(ac_map)
+        for by in range(c["bh_real"]):
+            for bx in range(c["bw_real"]):
+                row = c["zz"][pad_idx(c, by, bx)]
+                r = 0
+                wrote = False
+                for k in range(ss, se + 1):
+                    v = int(row[k])
+                    t = abs(v) >> al
+                    if t == 0:
+                        r += 1
+                        continue
+                    wtr.emit_eobrun()
+                    while r > 15:
+                        wtr.sym(0xF0)
+                        r -= 16
+                    s = t.bit_length()
+                    wtr.sym((r << 4) | s)
+                    bits = t if v > 0 else (-t) + (1 << s) - 1
+                    wtr.put(bits, s)
+                    r = 0
+                    wrote = True
+                if r > 0 or not wrote:
+                    wtr.eobrun += 1
+                    if wtr.eobrun == 0x7FFF:
+                        wtr.emit_eobrun()
+        wtr.emit_eobrun()
+        wtr.flush()
+        return wtr.out
+
+    for ci, c in enumerate(comps):
+        for band in ((1, 5), (6, 63)):
+            out += sos([ci + 1], band[0], band[1], 0, 1)
+            out += ac_first(c, band[0], band[1], 1)
+
+    # --- AC refinement (Ah=1, Al=0), per component, full band ---
+    def ac_refine(c, ss, se, al):
+        wtr = _ProgWriter(ac_map)
+        for by in range(c["bh_real"]):
+            for bx in range(c["bw_real"]):
+                row = c["zz"][pad_idx(c, by, bx)]
+                absv = [abs(int(row[k])) >> al for k in range(ss, se + 1)]
+                eob_rel = 0
+                for i, t in enumerate(absv):
+                    if t == 1:
+                        eob_rel = i + 1  # position AFTER last new bit
+                r = 0
+                br = []
+                for i, t in enumerate(absv):
+                    k = ss + i
+                    v = int(row[k])
+                    if t == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i < eob_rel:
+                        wtr.emit_eobrun()
+                        wtr.sym(0xF0)
+                        r -= 16
+                        for b in br:
+                            wtr.put(b, 1)
+                        br = []
+                    if t > 1:
+                        br.append(t & 1)
+                        continue
+                    wtr.emit_eobrun()
+                    wtr.sym((r << 4) | 1)
+                    wtr.put(1 if v > 0 else 0, 1)
+                    for b in br:
+                        wtr.put(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    wtr.eobrun += 1
+                    wtr.held.extend(br)
+                    if wtr.eobrun == 0x7FFF:
+                        wtr.emit_eobrun()
+        wtr.emit_eobrun()
+        wtr.flush()
+        return wtr.out
+
+    for ci, c in enumerate(comps):
+        out += sos([ci + 1], 1, 63, 1, 0)
+        out += ac_refine(c, 1, 63, 0)
+
+    return bytes(out) + b"\xff\xd9"
+
+
+def test_jpeg_progressive_roundtrip_444():
+    # Progressive must reconstruct the SAME image as baseline at the same
+    # quant table: identical coefficients, different scan order.
+    px = _smooth(40, 56, 21)
+    base = decode_jpeg(encode_jpeg(px, quality=90))
+    prog = decode_jpeg(encode_jpeg_progressive(px, quality=90))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_roundtrip_420():
+    px = _smooth(33, 41, 22)  # odd dims: MCU padding + real-grid AC scans
+    base = decode_jpeg(encode_jpeg(px, subsample=True, quality=85))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(px, subsample=True, quality=85)
+    )
+    assert np.array_equal(base, prog)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    h=st.integers(8, 40),
+    w=st.integers(8, 40),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.booleans(),
+    q=st.sampled_from([75, 90, 100]),
+)
+def test_jpeg_progressive_equals_baseline_fuzz(h, w, seed, sub, q):
+    px = _smooth(h, w, seed)
+    base = decode_jpeg(encode_jpeg(px, subsample=sub, quality=q))
+    prog = decode_jpeg(encode_jpeg_progressive(px, subsample=sub, quality=q))
+    assert np.array_equal(base, prog)
