@@ -311,6 +311,10 @@ def media_payload(mid: int) -> bytes:
     if kind == "png":
         return encode_png(px)
     if kind == "jpeg":
+        # Alternate baseline / progressive streams: the driver oracle row
+        # then exercises BOTH decode paths (they reconstruct identically).
+        if (mid // 5) % 2:
+            return encode_jpeg_progressive(px)
         return encode_jpeg(px)
     return encode_gif(px[:, :, 0])  # gif: gray plane through the palette
 
@@ -411,3 +415,190 @@ def media_roundtrip_check(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_check, schema=CHECK_SCHEMA)
+
+
+def encode_jpeg_progressive(rgb: np.ndarray) -> bytes:
+    """Progressive JFIF (SOF2), 4:4:4, unit quantization: DC first (Al=1)
+    -> DC refinement -> per-component AC bands 1-5 and 6-63 (Al=1) ->
+    per-component AC refinement (Ah=1, Al=0). Reconstructs bit-identically
+    to ``encode_jpeg`` of the same raster, through a completely different
+    scan structure — the driver row's progressive-path exercise."""
+    h, w = rgb.shape[:2]
+    r, g, b = (rgb[:, :, i].astype(np.float64) for i in range(3))
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128,
+    ]
+    bh, bw = -(-h // 8), -(-w // 8)
+    zz = np.array(_JPEG_ZZ)
+    comp_q = []
+    for px in planes:
+        padded = np.pad(px, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge") - 128.0
+        blocks = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        comp_q.append(
+            np.round(_JC @ blocks @ _JC.T).astype(np.int64).reshape(-1, 64)[:, zz]
+        )
+
+    ac_syms = sorted(
+        {0xF0}
+        | {rr << 4 for rr in range(15)}
+        | {(rr << 4) | s for rr in range(16) for s in range(1, 12)}
+    )
+    ac = {s: (i, 9) for i, s in enumerate(ac_syms)}
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + b"\x01" * 64
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for ci in range(3):
+        sof += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = b"\x00" + _JPEG_DC_COUNTS + bytes(range(12))
+    ac_counts = bytearray(16)
+    ac_counts[8] = len(ac_syms)
+    dht += b"\x10" + bytes(ac_counts) + bytes(ac_syms)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    class _W:
+        def __init__(self):
+            self.buf = bytearray()
+            self.acc = 0
+            self.n = 0
+            self.eobrun = 0
+            self.held: list = []
+
+        def put(self, code, length):
+            self.acc = (self.acc << length) | code
+            self.n += length
+            while self.n >= 8:
+                byte = (self.acc >> (self.n - 8)) & 0xFF
+                self.buf.append(byte)
+                if byte == 0xFF:
+                    self.buf.append(0x00)
+                self.n -= 8
+                self.acc &= (1 << self.n) - 1
+
+        def sym(self, s):
+            self.put(*ac[s])
+
+        def flush_eob(self):
+            if self.eobrun > 0:
+                nb = self.eobrun.bit_length() - 1
+                self.sym(nb << 4)
+                if nb:
+                    self.put(self.eobrun - (1 << nb), nb)
+                self.eobrun = 0
+            for bit in self.held:
+                self.put(bit, 1)
+            self.held = []
+
+        def done(self):
+            if self.n:
+                pad = 8 - self.n
+                self.put((1 << pad) - 1, pad)
+            return bytes(self.buf)
+
+    def sos(cids, ss, se, ah, al):
+        seg = bytes([len(cids)])
+        for cid in cids:
+            seg += bytes([cid, 0x00])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    # DC first (interleaved, Al=1) then DC refinement (raw bits).
+    out += sos([1, 2, 3], 0, 0, 0, 1)
+    wtr = _W()
+    preds = [0, 0, 0]
+    for bi in range(bh * bw):
+        for ci in range(3):
+            v = int(comp_q[ci][bi][0]) >> 1  # arithmetic shift (T.81 DC)
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = abs(diff).bit_length()
+            wtr.put(*_JPEG_DC[s])
+            if s:
+                wtr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += wtr.done()
+    out += sos([1, 2, 3], 0, 0, 1, 0)
+    wtr = _W()
+    for bi in range(bh * bw):
+        for ci in range(3):
+            wtr.put(int(comp_q[ci][bi][0]) & 1, 1)
+    out += wtr.done()
+
+    # AC first scans (Al=1), two bands, per component.
+    for ci in range(3):
+        for ss_, se_ in ((1, 5), (6, 63)):
+            out += sos([ci + 1], ss_, se_, 0, 1)
+            wtr = _W()
+            for bi in range(bh * bw):
+                row = comp_q[ci][bi]
+                run = 0
+                wrote = False
+                for k in range(ss_, se_ + 1):
+                    v = int(row[k])
+                    t = abs(v) >> 1
+                    if t == 0:
+                        run += 1
+                        continue
+                    wtr.flush_eob()
+                    while run > 15:
+                        wtr.sym(0xF0)
+                        run -= 16
+                    s = t.bit_length()
+                    wtr.sym((run << 4) | s)
+                    wtr.put(t if v > 0 else (-t) + (1 << s) - 1, s)
+                    run = 0
+                    wrote = True
+                if run > 0 or not wrote:
+                    wtr.eobrun += 1
+                    if wtr.eobrun == 0x7FFF:
+                        wtr.flush_eob()
+            wtr.flush_eob()
+            out += wtr.done()
+
+    # AC refinement (Ah=1 -> Al=0), per component, full band.
+    for ci in range(3):
+        out += sos([ci + 1], 1, 63, 1, 0)
+        wtr = _W()
+        for bi in range(bh * bw):
+            row = comp_q[ci][bi]
+            absv = [abs(int(row[k])) for k in range(1, 64)]
+            eob_rel = 0
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob_rel = i + 1
+            run = 0
+            br: list = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and i < eob_rel:
+                    wtr.flush_eob()
+                    wtr.sym(0xF0)
+                    run -= 16
+                    for bit in br:
+                        wtr.put(bit, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                wtr.flush_eob()
+                wtr.sym((run << 4) | 1)
+                wtr.put(1 if int(row[1 + i]) > 0 else 0, 1)
+                for bit in br:
+                    wtr.put(bit, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                wtr.eobrun += 1
+                wtr.held.extend(br)
+                if wtr.eobrun == 0x7FFF:
+                    wtr.flush_eob()
+        wtr.flush_eob()
+        out += wtr.done()
+
+    return bytes(out) + b"\xff\xd9"

@@ -131,3 +131,22 @@ def test_check_quarantines_bitrot_instead_of_crashing(spark):
     out = {r["media_id"]: r for r in media_roundtrip_check(media).collect()}
     assert len(out) == 2
     assert not out[1]["ok"] and not out[3]["ok"]
+
+
+def test_jpeg_media_alternates_baseline_and_progressive():
+    # jpeg-kind payloads alternate SOF0/SOF2 by id; both decode
+    # bit-identically and within the unit-quant tolerance of the formula.
+    from datasketch_spark.operators.media_synth import media_payload
+
+    sofs = set()
+    for mid in (3, 8, 13, 18):
+        p = media_payload(mid)
+        if b"\xff\xc0" in p:
+            sofs.add("baseline")
+        if b"\xff\xc2" in p:
+            sofs.add("progressive")
+        got = decode_image(p)
+        want = media_pixels(mid)
+        assert got.shape == want.shape
+        assert np.max(np.abs(got.astype(int) - want.astype(int))) <= 6
+    assert sofs == {"baseline", "progressive"}
