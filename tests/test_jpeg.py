@@ -502,9 +502,13 @@ def _prog_plan(rgb, subsample, quality):
     return h, w, sampling, comps, mcus_x, mcus_y, qtab
 
 
-def encode_jpeg_progressive(rgb, subsample=False, quality=90):
+def encode_jpeg_progressive(rgb, subsample=False, quality=90,
+                            dc_restart_interval=0):
     """Progressive JFIF: DC(Al=1) -> DC refine -> AC 1..5 and 6..63
-    (Al=1) per component -> AC refinement (Ah=1, Al=0) per component."""
+    (Al=1) per component -> AC refinement (Ah=1, Al=0) per component.
+    ``dc_restart_interval`` > 0 emits RSTn markers in the DC-first scan
+    (then redefines DRI to 0 before the later scans) — exercises the
+    decoder's per-segment predictor reset in progressive mode."""
     h, w, sampling, comps, mcus_x, mcus_y, qtab = _prog_plan(
         rgb, subsample, quality
     )
@@ -542,12 +546,27 @@ def encode_jpeg_progressive(rgb, subsample=False, quality=90):
     def pad_idx(c, by, bx):
         return by * c["bw"] + bx
 
-    # --- scan 1: DC first, interleaved, Al=1 ---
+    # --- scan 1: DC first, interleaved, Al=1 (optional restarts) ---
+    if dc_restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dc_restart_interval)
     out += sos([1, 2, 3], 0, 0, 0, 1)
     wtr = _ProgWriter(ac_map)
     preds = [0, 0, 0]
+    rst = 0
+    mcu_i = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if (
+                dc_restart_interval
+                and mcu_i
+                and mcu_i % dc_restart_interval == 0
+            ):
+                wtr.flush()
+                out += wtr.out + bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                wtr = _ProgWriter(ac_map)
+                preds = [0, 0, 0]
+            mcu_i += 1
             for ci, c in enumerate(comps):
                 for dy in range(c["vs"]):
                     for dx in range(c["hs"]):
@@ -563,6 +582,8 @@ def encode_jpeg_progressive(rgb, subsample=False, quality=90):
     out += wtr.out
 
     # --- scan 2: DC refinement, Al=0 (one raw bit per block) ---
+    if dc_restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, 0)  # DRI back to 0
     out += sos([1, 2, 3], 0, 0, 1, 0)
     wtr = _ProgWriter(ac_map)
     for my in range(mcus_y):
@@ -695,3 +716,14 @@ def test_jpeg_progressive_equals_baseline_fuzz(h, w, seed, sub, q):
     base = decode_jpeg(encode_jpeg(px, subsample=sub, quality=q))
     prog = decode_jpeg(encode_jpeg_progressive(px, subsample=sub, quality=q))
     assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_restart_markers():
+    # RSTn inside a progressive DC scan: per-segment predictor reset,
+    # DRI redefinition between scans, identical reconstruction.
+    px = _smooth(48, 48, 23)
+    plain = decode_jpeg(encode_jpeg_progressive(px, quality=90))
+    with_rst = decode_jpeg(
+        encode_jpeg_progressive(px, quality=90, dc_restart_interval=3)
+    )
+    assert np.array_equal(plain, with_rst)
