@@ -37,6 +37,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a tiny single-file scan across the cluster before expensive
+    per-row work (optimization guide 2.5, input skew): the driver tables
+    are single small parquet files, so every scan is ONE task and every
+    narrow stage downstream (signature UDF, token-array prep, per-pair
+    scoring) serializes on one core. Round-robin repartition to
+    defaultParallelism — cluster-adaptive, not a local[32] constant; the
+    exchanged bytes are bounded by the (small) input. At 100 TB inputs
+    arrive in thousands of scan partitions and this helper is simply not
+    applied (production operators never repartition unconditionally)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # SQL-expressible queries (strong oracle check).
 # ---------------------------------------------------------------------------
@@ -91,7 +105,7 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (verified at sf0.1), modestly faster here, and scale-safe.
     from datasketch_spark.operators.setjoin import prefix_filtered_jaccard_pairs
 
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "doc_id", "lang", "source", distinct_words_col("text").alias("words")
     )
     return prefix_filtered_jaccard_pairs(
@@ -110,7 +124,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # didn't. (lang, source) blocking stays as a conjunctive condition.
     from datasketch_spark.operators.setjoin import prefix_filtered_jaccard_pairs
 
-    d = _docs(spark, sf_dir).select(
+    d = _spread(_docs(spark, sf_dir)).select(
         "doc_id",
         "lang",
         "source",
@@ -122,14 +136,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    emb = _spread(_emb(spark, sf_dir))
     return brute_force_topk(emb, emb.where("vec_id < 20"), k=5)
 
 
 def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Blocked by label (same quadratic-taming pattern as the jaccard pair
     # queries); the unblocked approximate path is simhash_bucketed_pairs.
-    return cosine_pairs(_emb(spark, sf_dir), min_sim=0.4, block_col="label")
+    return cosine_pairs(_spread(_emb(spark, sf_dir)), min_sim=0.4, block_col="label")
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +152,7 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select(
+    docs = _spread(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
     cfg = DedupConfig(threshold=0.5)
@@ -165,7 +179,7 @@ def q_dedup_with_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-substring edges (>= 29-byte match at this k/w) -> connected
     # components -> cluster labels. Both edge sets are individually
     # oracle-proven; the DuckDB twin unions them before the recursive CC.
-    docs = _docs(spark, sf_dir).select(
+    docs = _spread(_docs(spark, sf_dir)).select(
         F.col("doc_id").cast("string").alias("url"), "text"
     )
     cfg = DedupConfig(threshold=0.5, substring_k=20, substring_window=10)
@@ -182,7 +196,7 @@ def q_dedup_with_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     cfg = DedupConfig(threshold=0.5)
     sigs = with_signature(docs, cfg)
     return candidate_pairs(bands_table(sigs, cfg), cfg)
@@ -198,7 +212,7 @@ def q_substring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate rows-only query (longest-common-substring is not SQL).
     from datasketch_spark.operators.suffix import substring_dedup_edges
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     # bucket_cap lifted for the oracle query: the driver corpus is 500 docs,
     # so even a fully-shared boilerplate fingerprint is far below any memory
     # hazard, and the oracle has no cap.
@@ -217,7 +231,7 @@ def q_substring_match_len(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two formulations agree exactly.
     from datasketch_spark.operators.suffix import substring_dedup_edges
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     return substring_dedup_edges(docs, k=20, w=10, bucket_cap=100_000)
 
 
@@ -231,7 +245,7 @@ def q_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-match a DuckDB oracle.
     from datasketch_spark.operators.hll import hll_count_reference, md5_hash32_col
 
-    words = _docs(spark, sf_dir).select(
+    words = _spread(_docs(spark, sf_dir)).select(
         F.explode(distinct_words_col("text")).alias("word")
     )
     est = hll_count_reference(words, "word", p=8, hash32=md5_hash32_col("word"))
@@ -250,7 +264,7 @@ def q_lsh_query_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketch_spark.functions.minhash import make_signature_from_tokens_udf
     from datasketch_spark.operators.lsh import bands_table, lsh_query
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     tok = F.transform(
         distinct_words_col("text"),
         lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
@@ -278,7 +292,7 @@ def _word_md5_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_query/ensemble/forest oracle rows."""
     from datasketch_spark.functions.minhash import make_signature_from_tokens_udf
 
-    docs = _docs(spark, sf_dir)
+    docs = _spread(_docs(spark, sf_dir))
     words = distinct_words_col("text")
     tok = F.transform(
         words,
@@ -305,7 +319,7 @@ def _shingle_sigs_with_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     fans out into several plan branches."""
     from datasketch_spark.operators.lsh import with_signature
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     cfg = DedupConfig(threshold=0.5)
     set_size = F.size(F.array_distinct(char_ngrams_col(F.col("text"), 5)))
     return (
@@ -373,7 +387,7 @@ def q_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketch_spark.operators.ann import brute_force_topk
     from datasketch_spark.operators.hnsw import hnsw_topk
 
-    emb = _emb(spark, sf_dir)
+    emb = _spread(_emb(spark, sf_dir))
     q = emb.where("vec_id < 20")
     h = hnsw_topk(emb, q, k=5, distance="cosine", n_partitions=4).select(
         "query_id", "neighbor_id"
@@ -404,7 +418,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # training, fixed rounding), so the bar holds exactly.
     from datasketch_spark.operators.ann import brute_force_topk, ivf_topk
 
-    emb = _emb(spark, sf_dir)
+    emb = _spread(_emb(spark, sf_dir))
     q = emb.where("vec_id < 20")
     a = ivf_topk(emb, q, k=5, n_lists=16, n_probe=12).select(
         "query_id", "neighbor_id"
@@ -438,7 +452,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datasketch_spark.operators.ann import simhash_bucketed_pairs
 
     e = F.col("embedding").cast("array<double>")
-    emb = _emb(spark, sf_dir)
+    emb = _spread(_emb(spark, sf_dir))
     base = emb.select("vec_id", e.alias("embedding"))
     pert = emb.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -633,7 +647,7 @@ def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_media,
     )
 
-    ids = (
+    ids = _spread(
         _docs(spark, sf_dir)
         .select(F.col("doc_id").alias("media_id"))
         .where("media_id < 160")

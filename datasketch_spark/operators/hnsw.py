@@ -101,6 +101,10 @@ class HNSWIndex:
         self._mult = 1.0 / np.log(m)
         self._rng = np.random.RandomState(seed)
         self._points: dict[Hashable, np.ndarray] = {}
+        # Cached np.linalg.norm per stored point, used only by the
+        # built-in cosine metric (accessed via __dict__.setdefault so
+        # blobs pickled before this cache existed keep deserializing).
+        self._norms: dict[Hashable, float] = {}
         self._deleted: set[Hashable] = set()
         # _graph[level][key] -> {neighbor_key: distance}
         self._graph: list[dict[Hashable, dict[Hashable, float]]] = []
@@ -139,6 +143,51 @@ class HNSWIndex:
     def _random_level(self) -> int:
         return int(-np.log(self._rng.uniform(1e-12, 1.0)) * self._mult)
 
+    # -- distance fast paths -------------------------------------------------
+    #
+    # Graph build/search cost is dominated by distance evaluations: one
+    # Python call + (for cosine) TWO np.linalg.norm + one np.dot per probed
+    # edge. For the built-in cosine metric the probe norm is hoisted out of
+    # the edge loop and per-point norms are cached, leaving one BLAS dot
+    # per probe — numerically IDENTICAL to cosine_distance (same ops, same
+    # order: norm values are deterministic and reused, not recomputed).
+    # Custom callables and l2 fall through to the original per-pair call.
+
+    def _point_norm(self, key: Hashable) -> float:
+        norms = self.__dict__.setdefault("_norms", {})
+        ny = norms.get(key)
+        if ny is None:
+            ny = np.linalg.norm(self._points[key])
+            norms[key] = ny
+        return ny
+
+    def _dist_to(self, q: np.ndarray):
+        """callable key -> distance(q, points[key]), cosine fast path."""
+        pts = self._points
+        if self.distance is not cosine_distance:
+            dist = self.distance
+            return lambda key: dist(q, pts[key])
+        nq = np.linalg.norm(q)
+        dot = np.dot
+
+        def d(key: Hashable) -> float:
+            ny = self._point_norm(key)
+            if nq == 0.0 or ny == 0.0:
+                return 1.0
+            return 1.0 - float(dot(q, pts[key]) / (nq * ny))
+
+        return d
+
+    def _pair_dist(self, a: Hashable, b: Hashable) -> float:
+        """distance(points[a], points[b]) with cached norms for cosine."""
+        if self.distance is not cosine_distance:
+            return self.distance(self._points[a], self._points[b])
+        na = self._point_norm(a)
+        nb = self._point_norm(b)
+        if na == 0.0 or nb == 0.0:
+            return 1.0
+        return 1.0 - float(np.dot(self._points[a], self._points[b]) / (na * nb))
+
     def _search_layer(
         self, q: np.ndarray, entries: list[tuple[float, Hashable]], ef: int, level: int
     ) -> list[tuple[float, Hashable]]:
@@ -146,6 +195,7 @@ class HNSWIndex:
         returns up to ef (dist, key) pairs, unsorted heap order."""
         layer = self._graph[level]
         visited = {k for _, k in entries}
+        dist_to = self._dist_to(q)
         # candidates: min-heap by distance; result: max-heap via negation.
         cand = list(entries)
         heapq.heapify(cand)
@@ -159,7 +209,7 @@ class HNSWIndex:
                 if nbr in visited:
                     continue
                 visited.add(nbr)
-                dn = self.distance(q, self._points[nbr])
+                dn = dist_to(nbr)
                 if len(result) < ef or dn < -result[0][0]:
                     heapq.heappush(cand, (dn, nbr))
                     heapq.heappush(result, (-dn, nbr))
@@ -177,10 +227,7 @@ class HNSWIndex:
         for d, key in sorted(cands):
             if len(kept) >= m:
                 break
-            p = self._points[key]
-            if all(
-                self.distance(p, self._points[other]) >= d for other in kept
-            ):
+            if all(self._pair_dist(key, other) >= d for other in kept):
                 kept[key] = d
         return kept
 
@@ -200,6 +247,7 @@ class HNSWIndex:
             # simplest correct semantics (reference _update does pointer
             # repair; a partition rebuild achieves the same at scale).
             self._deleted.discard(key)
+            self.__dict__.setdefault("_norms", {}).pop(key, None)
         self._points[key] = point
         level = self._random_level()
         while len(self._graph) <= level:
@@ -211,7 +259,7 @@ class HNSWIndex:
             self._top = level
             return
         # Greedy descent above the insertion level.
-        ep = [(self.distance(point, self._points[self._entry]), self._entry)]
+        ep = [(self._dist_to(point)(self._entry), self._entry)]
         for lv in range(self._top, level, -1):
             ep = [min(self._search_layer(point, ep, 1, lv))]
         # Link downward from min(level, top) to 0.
@@ -242,7 +290,7 @@ class HNSWIndex:
             raise ValueError("Entry point not found.")
         point = np.asarray(point, dtype=np.float64)
         ef = max(ef or self.ef_construction, k)
-        ep = [(self.distance(point, self._points[self._entry]), self._entry)]
+        ep = [(self._dist_to(point)(self._entry), self._entry)]
         for lv in range(self._top, 0, -1):
             ep = [min(self._search_layer(point, ep, 1, lv))]
         found = self._search_layer(point, ep, ef, 0)
@@ -300,7 +348,6 @@ class HNSWIndex:
                 layer[u].pop(key, None)
             affected = in_nbrs | key_nbrs
             for w in affected:
-                pw = self._points[w]
                 # Soft-deleted nodes STAY in the candidate pool: they must
                 # remain navigable (keep in-edges) or whole neighborhoods
                 # reachable only through them would orphan after mixed
@@ -311,10 +358,8 @@ class HNSWIndex:
                     for c in (set(layer[w]) | key_nbrs | affected)
                     if c != w and c in layer
                 }
-                cands = [
-                    (self.distance(pw, self._points[c]), c) for c in cand_keys
-                ]
-                new_nbrs = self._select_neighbors(pw, cands, cap)
+                cands = [(self._pair_dist(w, c), c) for c in cand_keys]
+                new_nbrs = self._select_neighbors(self._points[w], cands, cap)
                 layer[w] = new_nbrs
                 if w in self._deleted:
                     continue  # soft-deleted nodes gain no reciprocal edges
@@ -324,6 +369,7 @@ class HNSWIndex:
                     layer[c][w] = d
                     self._shrink(c, lv)
         del self._points[key]
+        self.__dict__.setdefault("_norms", {}).pop(key, None)
         self._deleted.discard(key)
 
     def pop(self, key: Hashable, hard: bool = False) -> np.ndarray:
@@ -345,6 +391,7 @@ class HNSWIndex:
 
     def clear(self) -> None:
         self._points = {}
+        self._norms = {}
         self._deleted = set()
         self._graph = []
         self._entry = None

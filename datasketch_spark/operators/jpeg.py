@@ -376,6 +376,83 @@ def _decode_scan(frame, scan_tabs, qtables, htables, restart_interval, segments)
         for hs, vs, *_ in per_comp
     ]
 
+    def _decode_block(row, dc_lut, ac_lut, pred):
+        idx = reader.peek16()
+        s = dc_lut.sym[idx]
+        ln = dc_lut.nbits[idx]
+        if ln == 0:
+            raise ValueError("corrupt JPEG Huffman code")
+        reader.skip(ln)
+        pred += _extend(reader.read(s), s)
+        row[0] = pred
+        asym, abits = ac_lut.sym, ac_lut.nbits
+        k = 1
+        while k < 64:
+            idx = reader.peek16()
+            rs = asym[idx]
+            ln = abits[idx]
+            if ln == 0:
+                raise ValueError("corrupt JPEG Huffman code")
+            reader.skip(ln)
+            if rs == 0:  # EOB
+                break
+            run = rs >> 4
+            size = rs & 0xF
+            if size == 0:
+                if run != 15:
+                    raise ValueError("corrupt JPEG AC code")
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC coefficient overflow")
+            row[k] = _extend(reader.read(size), size)
+            k += 1
+        return pred
+
+    if len(per_comp) == 1:
+        # T.81 A.2.3: a SINGLE-COMPONENT scan is non-interleaved — one
+        # block per MCU, raster order over the component's REAL block
+        # grid, sampling factors ignored (they only shape multi-component
+        # interleave). Decoding it with the interleaved layout scrambles
+        # any grayscale frame whose SOF declares sampling > 1x1 (r5
+        # ADVICE: silent scramble when dims are multiples of 16, spurious
+        # errors otherwise). Blocks map through ``_blk_idx`` into the
+        # MCU-ordered store, exactly like non-interleaved progressive
+        # scans; each block is one restart unit.
+        hs, vs, dc_lut, ac_lut, _q = per_comp[0]
+        g = {
+            "hs": hs,
+            "vs": vs,
+            "bw_real": -(-w // 8),
+            "bh_real": -(-h // 8),
+        }
+        n_units = g["bw_real"] * g["bh_real"]
+        store = coef[0]
+        seg_idx = 0
+        reader = _BitReader(segments[0])
+        pred = 0
+        expected_per_seg = restart_interval if restart_interval else n_units
+        in_seg = 0
+        for unit in range(n_units):
+            if in_seg == expected_per_seg:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise ValueError(
+                        "truncated JPEG scan (missing restart segment)"
+                    )
+                reader = _BitReader(segments[seg_idx])
+                pred = 0
+                in_seg = 0
+            by, bx = divmod(unit, g["bw_real"])
+            pred = _decode_block(
+                store[_blk_idx(g, mcus_x, by, bx)], dc_lut, ac_lut, pred
+            )
+            if reader.exhausted_early():
+                raise ValueError("truncated JPEG scan")
+            in_seg += 1
+        return _reconstruct(frame, [pc[4] for pc in per_comp], coef)
+
     # ---- sequential phase: Huffman-decode every MCU ----
     mcu = 0
     seg_idx = 0
@@ -394,41 +471,10 @@ def _decode_scan(frame, scan_tabs, qtables, htables, restart_interval, segments)
         for ci, (hs, vs, dc_lut, ac_lut, _q) in enumerate(per_comp):
             store = coef[ci]
             base = mcu * hs * vs
-            dsym, dbits = dc_lut.sym, dc_lut.nbits
-            asym, abits = ac_lut.sym, ac_lut.nbits
             for b in range(hs * vs):
-                row = store[base + b]
-                idx = reader.peek16()
-                s = dsym[idx]
-                ln = dbits[idx]
-                if ln == 0:
-                    raise ValueError("corrupt JPEG Huffman code")
-                reader.skip(ln)
-                diff = _extend(reader.read(s), s)
-                preds[ci] += diff
-                row[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    idx = reader.peek16()
-                    rs = asym[idx]
-                    ln = abits[idx]
-                    if ln == 0:
-                        raise ValueError("corrupt JPEG Huffman code")
-                    reader.skip(ln)
-                    if rs == 0:  # EOB
-                        break
-                    run = rs >> 4
-                    size = rs & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("corrupt JPEG AC code")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC coefficient overflow")
-                    row[k] = _extend(reader.read(size), size)
-                    k += 1
+                preds[ci] = _decode_block(
+                    store[base + b], dc_lut, ac_lut, preds[ci]
+                )
         if reader.exhausted_early():
             raise ValueError("truncated JPEG scan")
         mcu += 1

@@ -727,3 +727,90 @@ def test_jpeg_progressive_restart_markers():
         encode_jpeg_progressive(px, quality=90, dc_restart_interval=3)
     )
     assert np.array_equal(plain, with_rst)
+
+
+# ---------------------------------------------------------------------------
+# T.81 A.2.3: single-component scans are NON-INTERLEAVED regardless of the
+# SOF sampling factors — one block per MCU, raster over the real block
+# grid. (r6 fix: grayscale frames declaring 2x2 sampling decoded scrambled
+# when dims were multiples of 16 and raised spuriously otherwise.)
+# ---------------------------------------------------------------------------
+
+
+def _encode_gray_sampled(gray, hs, vs, restart_interval=0):
+    """Independent encoder: grayscale baseline JFIF whose SOF declares
+    (hs, vs) sampling but whose single-component scan follows the spec's
+    non-interleaved layout (raster blocks of the REAL grid; each block is
+    one restart unit)."""
+    h, w = gray.shape
+    bw, bh = -(-w // 8), -(-h // 8)
+    padded = np.pad(
+        gray.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    ) - 128.0
+    blks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    qtab = np.ones((8, 8))
+    ac_syms = _used_ac_symbols([(blks, (1, 1))], qtab)
+    ac_map = {s: (i, 9) for i, s in enumerate(ac_syms)}
+    dc_map = _dc_codemap()
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = qtab.reshape(-1)[_ZZ].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, (hs << 4) | vs, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS)
+    ac_counts = [0] * 16
+    ac_counts[8] = len(ac_syms)
+    dht += bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+
+    writer = _BitWriter()
+    pred = 0
+    rst = 0
+    for unit in range(bh * bw):
+        if restart_interval and unit and unit % restart_interval == 0:
+            writer.flush()
+            out += writer.out + bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            writer = _BitWriter()
+            pred = 0
+        by, bx = divmod(unit, bw)
+        pred = _encode_blocks(
+            writer, [blks[by, bx]], pred, dc_map, ac_map, qtab
+        )
+    writer.flush()
+    out += writer.out + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_single_component_sampled_noninterleaved():
+    # dims multiple of 16 (the silent-scramble case) and not (the
+    # spurious-raise case), plus odd/padded dims.
+    for h, w, seed in [(16, 16, 11), (32, 16, 12), (24, 20, 13), (17, 9, 14)]:
+        gray = _smooth(h, w, seed)[:, :, 0]
+        got = decode_jpeg(_encode_gray_sampled(gray, 2, 2))
+        assert got.shape == (h, w, 3)
+        assert np.array_equal(got[:, :, 0], got[:, :, 1])
+        err = np.max(np.abs(got[:, :, 0].astype(int) - gray.astype(int)))
+        assert err <= 3, (h, w, err)
+
+
+def test_jpeg_single_component_sampled_restart_units_are_blocks():
+    # Non-interleaved restart intervals count BLOCKS of the real grid.
+    gray = _smooth(24, 20, 15)[:, :, 0]
+    plain = decode_jpeg(_encode_gray_sampled(gray, 2, 2))
+    with_rst = decode_jpeg(_encode_gray_sampled(gray, 2, 2, restart_interval=4))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_single_component_1x1_unchanged():
+    # hs=vs=1 single-component: the non-interleaved layout coincides with
+    # the old interleaved iteration — decode must stay identical.
+    gray = _smooth(24, 24, 3)[:, :, 0]
+    got = decode_jpeg(_encode_gray_sampled(gray, 1, 1))
+    px = np.repeat(gray[:, :, None], 3, axis=2)
+    legacy = decode_jpeg(encode_jpeg(px, gray=True))
+    assert np.array_equal(got, legacy)
