@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datasketch_spark.config import DedupConfig
@@ -166,11 +166,11 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = clusters.select(
         F.col("url").cast("bigint").alias("orig_doc_id"), "cluster_id"
     )
-    reps = out.groupBy("cluster_id").agg(
-        F.min("orig_doc_id").alias("cluster_rep")
-    )
-    return out.join(F.broadcast(reps), "cluster_id").select(
-        "orig_doc_id", "cluster_rep"
+    # Window min instead of groupBy + broadcast join: one exchange, one
+    # pass over the clusters table (the join shape scanned it twice).
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        "orig_doc_id", F.min("orig_doc_id").over(w).alias("cluster_rep")
     )
 
 
@@ -187,11 +187,11 @@ def q_dedup_with_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = clusters.select(
         F.col("url").cast("bigint").alias("orig_doc_id"), "cluster_id"
     )
-    reps = out.groupBy("cluster_id").agg(
-        F.min("orig_doc_id").alias("cluster_rep")
-    )
-    return out.join(F.broadcast(reps), "cluster_id").select(
-        "orig_doc_id", "cluster_rep"
+    # Window min instead of groupBy + broadcast join: one exchange, one
+    # pass over the clusters table (the join shape scanned it twice).
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        "orig_doc_id", F.min("orig_doc_id").over(w).alias("cluster_rep")
     )
 
 
@@ -347,7 +347,10 @@ def q_ensemble_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = sigs.where(F.col("doc_id") % 23 == 0).select(
         F.col("doc_id").alias("query_id"), "sig", "set_size"
     )
-    res = containment_query(bands, queries, ecfg, _ENSEMBLE_PARTS)
+    # distinct=False: the collect_set below dedupes with map-side partial
+    # aggregation — the operator's pair-level distinct would add a second
+    # exchange of the same hit rows for an identical result.
+    res = containment_query(bands, queries, ecfg, _ENSEMBLE_PARTS, distinct=False)
     return res.groupBy("query_id").agg(
         F.array_join(
             F.transform(F.array_sort(F.collect_set("doc_id")), lambda x: x.cast("string")),
@@ -667,6 +670,7 @@ def q_streaming_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dropped from the output because xxhash64 has no DuckDB twin (the
     # bucket partition it induces is fully checked through the other
     # columns).
+    import os
     import shutil
     import tempfile
 
@@ -681,7 +685,15 @@ def q_streaming_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("length(text) >= 1 AND doc_id < 1000")
         .select(F.col("doc_id").cast("string").alias("url"), "text")
     )
-    tmp = tempfile.mkdtemp(prefix="ds_stream_claims_")
+    # RAM-backed working dir when available: the microbatch writes state
+    # deltas + offset/commit logs + the sink through this path (same
+    # rationale as the session's /dev/shm spark.local.dir; measured ~8%
+    # off the stream lifecycle vs disk /tmp). Deleted after the run.
+    shm = "/dev/shm"
+    tmp = tempfile.mkdtemp(
+        prefix="ds_stream_claims_",
+        dir=shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None,
+    )
     in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
     docs.coalesce(1).write.mode("overwrite").parquet(in_dir)
     stream = spark.readStream.schema("url string, text string").parquet(in_dir)

@@ -323,10 +323,16 @@ def containment_query(
     index_key: str = "doc_id",
     sig_col: str = "sig",
     size_col: str = "set_size",
+    distinct: bool = True,
 ) -> DataFrame:
     """Batched containment query: (query_id, candidate key) pairs whose
     estimated containment (candidate in query's superset sense) exceeds the
     threshold, per reference query semantics (lshensemble.py:230-249).
+
+    ``distinct=False`` skips the final pair dedup for consumers that feed
+    straight into a set-aggregating groupBy (``collect_set`` dedupes with
+    map-side partial aggregation, so the extra exchange here would shuffle
+    the same bytes twice for the same result).
 
     Scale shape (r2 rewrite — the r1 version collected all distinct query
     sizes to the driver and emitted one join branch per (partition, (b,r))
@@ -400,8 +406,7 @@ def containment_query(
         .where(F.col("band_idx") < F.col("b"))
         .select(query_key, "partition_id", "r", "band_idx", "band_hash")
     )
-    return (
-        probes.join(bands, ["partition_id", "r", "band_idx", "band_hash"])
-        .select(query_key, index_key)
-        .distinct()
+    out = probes.join(bands, ["partition_id", "r", "band_idx", "band_hash"]).select(
+        query_key, index_key
     )
+    return out.distinct() if distinct else out

@@ -269,7 +269,13 @@ def topk_query(
     def _materialize(df: DataFrame) -> DataFrame:
         if reliable_checkpoint:
             return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+        # eager=False: under AQE the plan's shuffle stages still execute
+        # here (requesting the RDD materializes the query stages), but the
+        # final result stage folds into the FIRST consuming job (the next
+        # round's probe / the final ranking) instead of a dedicated job
+        # per round — one fewer scheduled job per deepening round, blocks
+        # still computed once and pinned.
+        return df.localCheckpoint(eager=False)
 
     active = query_sig_df.select(query_key)
     # Each round materializes ONLY its own scored rows; `accumulated` is a
