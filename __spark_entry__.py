@@ -105,8 +105,12 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (verified at sf0.1), modestly faster here, and scale-safe.
     from datasketch_spark.operators.setjoin import prefix_filtered_jaccard_pairs
 
+    # Raw words: the operator applies array_distinct itself (see
+    # q_ngram_jaccard_pairs).
+    from datasketch_spark.functions.text import words_col
+
     d = _spread(_docs(spark, sf_dir)).select(
-        "doc_id", "lang", "source", distinct_words_col("text").alias("words")
+        "doc_id", "lang", "source", words_col("text").alias("words")
     )
     return prefix_filtered_jaccard_pairs(
         d, "words", 0.5, block_cols=["lang", "source"]
@@ -124,11 +128,14 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # didn't. (lang, source) blocking stays as a conjunctive condition.
     from datasketch_spark.operators.setjoin import prefix_filtered_jaccard_pairs
 
+    # Raw (non-distinct) grams: prefix_filtered_jaccard_pairs applies
+    # array_distinct itself; the previous outer distinct ran the O(n)
+    # hash-dedup twice per doc for the same array.
     d = _spread(_docs(spark, sf_dir)).select(
         "doc_id",
         "lang",
         "source",
-        F.array_distinct(char_ngrams_col(F.col("text"), 3)).alias("grams"),
+        char_ngrams_col(F.col("text"), 3).alias("grams"),
     )
     return prefix_filtered_jaccard_pairs(
         d, "grams", 0.6, block_cols=["lang", "source"]
@@ -198,7 +205,10 @@ def q_dedup_with_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
     cfg = DedupConfig(threshold=0.5)
-    sigs = with_signature(docs, cfg)
+    # candidate_pairs consumes the bands twice (hot-bucket histogram +
+    # cold anti-join); without the checkpoint the signature UDF evaluates
+    # once per branch (two ArrowEvalPython nodes in the r6 before-plan).
+    sigs = with_signature(docs, cfg).localCheckpoint(eager=False)
     return candidate_pairs(bands_table(sigs, cfg), cfg)
 
 
@@ -270,7 +280,11 @@ def q_lsh_query_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
     )
     udf = make_signature_from_tokens_udf(128, 1)
-    sigs = docs.select("doc_id", udf(tok).alias("sig"))
+    # Checkpoint: the sig table fans into the index-bands and query-bands
+    # branches; lazy checkpoint = one UDF evaluation instead of two.
+    sigs = docs.select("doc_id", udf(tok).alias("sig")).localCheckpoint(
+        eager=False
+    )
     cfg = DedupConfig(threshold=0.5)
     index_bands = bands_table(sigs, cfg)
     q_sigs = sigs.where(F.col("doc_id") % 17 == 0).withColumnRenamed(
@@ -454,8 +468,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic. Non-planted pairs top out at cosine ~0.6 << 0.9.
     from datasketch_spark.operators.ann import simhash_bucketed_pairs
 
+    # No _spread here: the per-row work is one batched matmul UDF and the
+    # base/pert branches would each pay an exchange (measured net loss).
     e = F.col("embedding").cast("array<double>")
-    emb = _spread(_emb(spark, sf_dir))
+    emb = _emb(spark, sf_dir)
     base = emb.select("vec_id", e.alias("embedding"))
     pert = emb.select(
         (F.col("vec_id") + 1000000).alias("vec_id"),
@@ -526,7 +542,10 @@ def q_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cfg = DedupConfig(threshold=0.5)
     indexed = _docs(spark, sf_dir).where("doc_id < 250").select("doc_id", "text")
-    sigs = with_signature(indexed, cfg)
+    # The filter build consumes sigs three times (sizing count, shard
+    # build, membership probe); the lazy checkpoint evaluates the
+    # signature UDF once instead of once per consumer.
+    sigs = with_signature(indexed, cfg).localCheckpoint(eager=False)
     bloom = LSHBloomFilter(sigs, cfg)
     return bloom.mark_candidates(sigs).select(
         "doc_id", F.col("maybe_dup").alias("indexed_hit")
@@ -650,7 +669,8 @@ def q_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_media,
     )
 
-    ids = _spread(
+    # No _spread here: 160 rows don't amortize an exchange (measured).
+    ids = (
         _docs(spark, sf_dir)
         .select(F.col("doc_id").alias("media_id"))
         .where("media_id < 160")

@@ -62,12 +62,23 @@ def _prefix_tokens(
     id_col: str,
 ) -> tuple[DataFrame, DataFrame]:
     """(base, tokens): the normalized (id, distinct-array, size) table and
-    its exploded prefix tokens under the global (hash, token) order."""
-    base = d.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(F.col(arr_col)).alias("_arr"),
-        *[F.col(c).alias(f"_blk_{c}") for c in blocks],
-    ).withColumn("_n", F.size("_arr"))
+    its exploded prefix tokens under the global (hash, token) order.
+
+    ``base`` is lazily checkpointed: it fans into THREE plan branches
+    (prefix tokens + both verification sides), and without the checkpoint
+    each branch re-runs the per-doc array construction + distinct from
+    the scan (three Generate/Project chains in the r6 before-plan). At
+    cluster scale swap for a checkpoint-table write if the distinct token
+    arrays outgrow executor block storage."""
+    base = (
+        d.select(
+            F.col(id_col).alias("_id"),
+            F.array_distinct(F.col(arr_col)).alias("_arr"),
+            *[F.col(c).alias(f"_blk_{c}") for c in blocks],
+        )
+        .withColumn("_n", F.size("_arr"))
+        .localCheckpoint(eager=False)
+    )
     ordered = F.transform(
         F.array_sort(
             F.transform("_arr", lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("g")))
