@@ -21,7 +21,11 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def norm(v):
     if v is None:
-        return ""  # total-orderable stand-in (matches on both sides)
+        # Sentinel that cannot collide with real data: a NULL on one side
+        # must NOT compare equal to a genuine empty string on the other
+        # (r5 advice — a regression turning '' into NULL would otherwise
+        # pass unnoticed).
+        return "\x00NULL\x00"
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
