@@ -224,6 +224,21 @@ def topk_query(
     ``index_depths`` argument if given, else the ``probe_depths`` column
     metadata every ``prefix_table`` output carries (zero cost), else
     assumed ``probe_schedule(fcfg.k_per_tree)``.
+
+    Each schedule entry may be an int (one probe depth per round) or a
+    list of ints (one round probing SEVERAL depths at once: one join on
+    ``depth IN (...)``, one band filter ``[min(group), prev)``). By
+    default the DEEP depths are merged into one round and the final two
+    depths stay singleton rounds (e.g. [16,4,2,1] → [[16,4],[2],[1]]):
+    deep buckets are small and sparse, so almost no query retires
+    between the deep rounds — paying a full round of fixed cost (join +
+    materialization + retirement) per deep depth buys nothing, while the
+    retirement barriers that protect the HOT shallow bands (depth 2, the
+    near-all-pairs depth 1) are kept. Output is IDENTICAL for any valid
+    grouping: every pair is still scored with its true best_depth, the
+    band filters tile [1, k_per_tree] exactly as before, and extra rows
+    accumulated for queries that would have retired mid-group can never
+    displace higher-depth rows from the final top-k window.
     """
     meta_depths = None
     try:
@@ -243,12 +258,23 @@ def topk_query(
             else probe_schedule(fcfg.k_per_tree)
         )
     if schedule is None:
-        schedule = [d for d in index_depths]
-    if schedule[-1] != 1 or any(
-        schedule[i] <= schedule[i + 1] for i in range(len(schedule) - 1)
+        # Default grouping: merge the deep depths into one round, keep
+        # the last two depths as singleton retirement rounds (docstring).
+        flat_default = [d for d in index_depths]
+        if len(flat_default) > 3:
+            schedule = [flat_default[:-2], *flat_default[-2:]]
+        else:
+            schedule = flat_default
+    groups: list[list[int]] = [
+        [int(d)] if isinstance(d, int) else sorted((int(x) for x in d), reverse=True)
+        for d in schedule
+    ]
+    flat = [d for g in groups for d in g]
+    if not flat or flat[-1] != 1 or any(
+        flat[i] <= flat[i + 1] for i in range(len(flat) - 1)
     ):
         raise ValueError("schedule must strictly descend and end at 1")
-    missing = set(schedule) - set(index_depths)
+    missing = set(flat) - set(index_depths)
     if missing:
         raise ValueError(
             f"scheduled depths {sorted(missing)} absent from the index "
@@ -287,17 +313,18 @@ def topk_query(
     accumulated: DataFrame | None = None
     prev_d = kpt + 1
     rounds: list[dict] = []
-    for d in schedule:
+    for group in groups:
+        d = min(group)  # the round's band floor
         q_pref = prefix_table(
             query_sig_df.join(active, query_key),
             fcfg,
             key_col=query_key,
             sig_col=sig_col,
-            depths=[d],
+            depths=group,
         )
         cands = (
             q_pref.join(
-                index_prefixes.where(F.col("depth") == d),
+                index_prefixes.where(F.col("depth").isin(group)),
                 ["tree_idx", "depth", "prefix_hash"],
             )
             .where(F.col(query_key) != F.col(index_key))

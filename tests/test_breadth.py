@@ -140,7 +140,8 @@ def test_forest_deepening_equals_full_enumeration_and_prunes(spark):
     # retired queries make the later rounds' joins empty.
     n_all_pairs = 8 * 47
     assert diag["candidate_rows"] < n_all_pairs / 2, diag
-    assert len(diag["rounds"]) == 4, diag  # default schedule [16, 4, 2, 1]
+    # default schedule groups the deep depths: [[16, 4], [2], [1]]
+    assert len(diag["rounds"]) == 3, diag
     # Index storage holds only the probed depths: l_trees * |schedule|
     # rows per doc (32), not num_perm (128).
     from datasketch_spark.operators.forest import probe_schedule
@@ -725,3 +726,47 @@ def test_forest_explicit_index_depths_beats_metadata(spark):
             schedule=[16, 4, 1],
             index_depths=[16, 1],
         )
+
+
+def test_forest_grouped_rounds_equal_singleton_rounds(spark):
+    # A grouped schedule (deep depths merged into one round — the r6
+    # default) must return EXACTLY the per-depth schedule's top-k: every
+    # pair is re-scored with its true best_depth and band filters tile
+    # the same range, so grouping only changes job structure.
+    rng = np.random.RandomState(23)
+    base_sigs = rng.randint(0, 1 << 31, size=(6, 128))
+    rows = []
+    did = 0
+    for c in range(6):
+        for m in range(5):
+            sig = base_sigs[c].copy()
+            if m:
+                flip = rng.choice(128, size=3 * m, replace=False)
+                sig[flip] = rng.randint(0, 1 << 31, size=3 * m)
+            rows.append((did, [int(x) for x in sig]))
+            did += 1
+    sig_df = spark.createDataFrame(rows, "doc_id long, sig array<bigint>")
+    fcfg = ForestConfig(num_perm=128, l_trees=8)
+    prefixes = prefix_table(sig_df, fcfg)
+    queries = sig_df.where("doc_id % 5 = 0").withColumnRenamed(
+        "doc_id", "query_id"
+    )
+
+    def rows_of(schedule):
+        res = topk_query(
+            prefixes, queries, sig_df, fcfg, k=4, schedule=schedule
+        )
+        return {
+            (r["query_id"], r["rank"]): (
+                r["doc_id"],
+                r["best_depth"],
+                round(r["est_jaccard"], 9),
+            )
+            for r in res.collect()
+        }
+
+    singleton = rows_of([16, 4, 2, 1])
+    grouped = rows_of([[16, 4], [2], [1]])
+    default = rows_of(None)  # default IS the grouped shape
+    assert grouped == singleton
+    assert default == singleton
