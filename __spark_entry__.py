@@ -383,7 +383,15 @@ def q_forest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_query,
     )
 
-    sigs = _shingle_sigs_with_size(spark, sf_dir).select("doc_id", "sig")
+    # Size-free sig table: the forest ranking never uses set_size, and
+    # _shingle_sigs_with_size would compute the distinct-5-gram count
+    # (an O(len) array_distinct per doc) just to checkpoint-and-drop it.
+    docs = _spread(_docs(spark, sf_dir)).select("doc_id", "text")
+    sigs = (
+        with_signature(docs, DedupConfig(threshold=0.5))
+        .select("doc_id", "sig")
+        .localCheckpoint(eager=False)
+    )
     fcfg = ForestConfig(num_perm=128, l_trees=8)
     prefixes = prefix_table(sigs, fcfg)
     queries = sigs.where(F.col("doc_id") % 29 == 0).withColumnRenamed(
