@@ -104,13 +104,17 @@ _HUFF_CACHE: dict[tuple[bytes, bytes], _HuffLUT] = {}
 
 
 def _huff_lut(counts: list[int], symbols: bytes) -> _HuffLUT:
+    # LRU (dict move-to-end) instead of the r5 clear-all at capacity: an
+    # adversarial corpus alternating >64 distinct table sets previously
+    # thrashed the whole cache (every image a miss); now only the least
+    # recently used entry is evicted.
     key = (bytes(counts), bytes(symbols))
-    lut = _HUFF_CACHE.get(key)
+    lut = _HUFF_CACHE.pop(key, None)
     if lut is None:
         if len(_HUFF_CACHE) >= 64:  # corpus of adversarial distinct tables
-            _HUFF_CACHE.clear()
+            _HUFF_CACHE.pop(next(iter(_HUFF_CACHE)))
         lut = _HuffLUT(counts, symbols)
-        _HUFF_CACHE[key] = lut
+    _HUFF_CACHE[key] = lut
     return lut
 
 

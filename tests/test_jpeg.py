@@ -814,3 +814,20 @@ def test_jpeg_single_component_1x1_unchanged():
     px = np.repeat(gray[:, :, None], 3, axis=2)
     legacy = decode_jpeg(encode_jpeg(px, gray=True))
     assert np.array_equal(got, legacy)
+
+
+def test_huffman_cache_lru_no_thrash():
+    # Alternating >64 distinct table sets must keep the hot entries
+    # resident (LRU eviction), not clear the whole cache (r5 behavior).
+    from datasketch_spark.operators import jpeg as J
+
+    J._HUFF_CACHE.clear()
+    hot_counts = list(_DC_COUNTS)
+    hot = J._huff_lut(hot_counts, bytes(_DC_SYMBOLS))
+    for i in range(70):  # 70 distinct one-off tables
+        ac_counts = [0] * 16
+        ac_counts[8] = 2
+        J._huff_lut(ac_counts, bytes([i, 128 + i]))
+        # touching the hot table keeps it most-recently-used
+        assert J._huff_lut(hot_counts, bytes(_DC_SYMBOLS)) is hot
+    assert len(J._HUFF_CACHE) <= 64
