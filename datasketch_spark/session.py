@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        # ContextCleaner only reclaims finished queries' shuffle files /
+        # broadcasts when the driver GCs; with a large mostly-idle heap
+        # that can be never within a session, so old query state (incl.
+        # RAM-backed shuffle dirs) accumulates. 2 min periodic GC is
+        # standard long-session hygiene; override via env for clusters.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "120s"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
