@@ -708,11 +708,6 @@ def q_streaming_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id < 1000 bounds the state-store size on the bench surface
     # (b x docs groups, each a Python state call); covers the whole
     # sf0.01 correctness corpus (500 docs) with headroom.
-    docs = (
-        _docs(spark, sf_dir)
-        .where("length(text) >= 1 AND doc_id < 1000")
-        .select(F.col("doc_id").cast("string").alias("url"), "text")
-    )
     # RAM-backed working dir when available: the microbatch writes state
     # deltas + offset/commit logs + the sink through this path (same
     # rationale as the session's /dev/shm spark.local.dir; measured ~8%
@@ -722,9 +717,27 @@ def q_streaming_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix="ds_stream_claims_",
         dir=shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None,
     )
-    in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
-    docs.coalesce(1).write.mode("overwrite").parquet(in_dir)
-    stream = spark.readStream.schema("url string, text string").parquet(in_dir)
+    out_dir, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+    # Stream the source table DIRECTLY (the file-stream source globs the
+    # same path the batch reader uses, file- or directory-shaped): the r5
+    # shape wrote a private coalesce(1) copy of the input first, paying a
+    # write+read of the corpus per invocation for identical rows. The
+    # bounding filter and url projection run ON the stream; availableNow
+    # drains the bounded source in one pass, and the state op's
+    # per-bucket whole-group sort keeps the oracle-checked claims
+    # independent of file/batch layout.
+    doc_path = f"{sf_dir}/documents.parquet"
+    reader = spark.readStream.schema(_docs(spark, sf_dir).schema).format("parquet")
+    if os.path.isdir(doc_path):
+        # Spark-written table: documents.parquet is a directory of parts.
+        src = reader.load(doc_path)
+    else:
+        # Single-file table (the driver's layout): the file source needs a
+        # directory basePath, so load the sf dir and glob the one file.
+        src = reader.option("pathGlobFilter", "documents.parquet").load(sf_dir)
+    stream = src.where("length(text) >= 1 AND doc_id < 1000").select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
     claims = streaming_lsh_claims(stream, cfg, key_col="url")
     q = (
         claims.writeStream.format("parquet")
